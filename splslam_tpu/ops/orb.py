@@ -1,0 +1,162 @@
+"""ORB keypoint orientation + rBRIEF descriptors, batched over keypoints.
+
+TPU-native re-expression of ORBextractor (reference: src/ORBextractor.cc):
+- IC-angle orientation (:472) -> batched 31x31 patch gather + masked moment
+  sums, vmap-free (one gather for all keypoints).
+- 256-bit rBRIEF (:108-409, hardcoded learned pair pattern) -> a seeded
+  Gaussian pair pattern (BRIEF-style; NOT copied from the reference — the
+  framework matches descriptors only against itself, so the exact pattern
+  is free as long as it is fixed and well-spread) rotated per keypoint,
+  sampled with one gather, packed to 8 uint32 words for popcount matching.
+- The full multi-level extractor: dense FAST -> border mask -> grid top-k
+  -> orientation -> descriptors, concatenated across levels into one
+  fixed-capacity feature table.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from splslam_tpu.ops.fast import fast_corners
+from splslam_tpu.ops.pyramid import PyramidSpec, build_pyramid, gaussian_blur
+from splslam_tpu.ops.topk import grid_topk
+
+HALF_PATCH = 15          # orientation patch radius (reference HALF_PATCH_SIZE)
+EDGE_THRESHOLD = 19      # border excluded from detection (reference :47)
+N_BITS = 256
+N_WORDS = N_BITS // 32
+
+
+def make_pattern(seed: int = 7) -> np.ndarray:
+    """(256, 4) int8 test-pair pattern [x1,y1,x2,y2], Gaussian sigma=patch/5,
+    clipped to the 31x31 patch. Fixed seed => reproducible descriptors."""
+    rng = np.random.default_rng(seed)
+    pts = rng.normal(0.0, (2 * HALF_PATCH + 1) / 5.0, size=(N_BITS, 4))
+    pts = np.clip(np.round(pts), -HALF_PATCH + 2, HALF_PATCH - 2)
+    return pts.astype(np.int8)
+
+
+_PATTERN = make_pattern()
+
+
+class OrbFeatures(NamedTuple):
+    """Fixed-capacity struct-of-arrays keypoint table (one frame)."""
+
+    xy: jax.Array        # [N,2] f32, level-0 pixel coords [x, y]
+    response: jax.Array  # [N] f32
+    angle: jax.Array     # [N] f32 radians
+    octave: jax.Array    # [N] int32
+    sigma2: jax.Array    # [N] f32 scale^2 of the level (for chi2 gates)
+    desc: jax.Array      # [N, 8] uint32 packed 256-bit descriptors
+    valid: jax.Array     # [N] bool
+
+    @property
+    def capacity(self) -> int:
+        return self.xy.shape[0]
+
+
+def _gather_patches(image: jax.Array, xy: jax.Array, offsets_y: jax.Array,
+                    offsets_x: jax.Array) -> jax.Array:
+    """Gather image values at xy (N,2 int) + per-sample integer offsets.
+
+    offsets_*: [...,] broadcastable against [N, ...]. Returns [N, ...] f32.
+    Coordinates are clipped (border corners were already excluded)."""
+    H, W = image.shape
+    ys = jnp.clip(xy[:, 1][:, None] + offsets_y.reshape(1, -1), 0, H - 1)
+    xs = jnp.clip(xy[:, 0][:, None] + offsets_x.reshape(1, -1), 0, W - 1)
+    vals = image[ys, xs]
+    return vals.reshape((xy.shape[0],) + offsets_y.shape)
+
+
+def ic_angle(image: jax.Array, xy_int: jax.Array) -> jax.Array:
+    """Intensity-centroid orientation for keypoints at integer coords (N,2).
+
+    angle = atan2(m01, m10) over the circular 31x31 patch
+    (reference: src/ORBextractor.cc:472 IC_Angle)."""
+    r = HALF_PATCH
+    dy, dx = jnp.meshgrid(
+        jnp.arange(-r, r + 1), jnp.arange(-r, r + 1), indexing="ij"
+    )
+    circle = (dy * dy + dx * dx) <= r * r
+    patches = _gather_patches(image, xy_int, dy, dx)  # [N,31,31]
+    w = jnp.where(circle, 1.0, 0.0)
+    m10 = jnp.sum(patches * (dx * w)[None], axis=(1, 2))
+    m01 = jnp.sum(patches * (dy * w)[None], axis=(1, 2))
+    return jnp.arctan2(m01, m10)
+
+
+def rbrief(blurred: jax.Array, xy_int: jax.Array, angle: jax.Array) -> jax.Array:
+    """Rotated BRIEF descriptors: (N,2) int coords + (N,) angle -> (N,8) u32."""
+    pat = jnp.asarray(_PATTERN, jnp.float32)  # [256,4]
+    ca, sa = jnp.cos(angle), jnp.sin(angle)   # [N]
+    # Rotate both test points of every pair (steered BRIEF, reference :431).
+    x1, y1, x2, y2 = pat[:, 0], pat[:, 1], pat[:, 2], pat[:, 3]
+
+    def rot(px, py):
+        rx = jnp.round(ca[:, None] * px[None] - sa[:, None] * py[None])
+        ry = jnp.round(sa[:, None] * px[None] + ca[:, None] * py[None])
+        return rx.astype(jnp.int32), ry.astype(jnp.int32)
+
+    rx1, ry1 = rot(x1, y1)  # [N,256]
+    rx2, ry2 = rot(x2, y2)
+    H, W = blurred.shape
+    cx = xy_int[:, 0][:, None]
+    cy = xy_int[:, 1][:, None]
+    v1 = blurred[jnp.clip(cy + ry1, 0, H - 1), jnp.clip(cx + rx1, 0, W - 1)]
+    v2 = blurred[jnp.clip(cy + ry2, 0, H - 1), jnp.clip(cx + rx2, 0, W - 1)]
+    bits = (v1 < v2).astype(jnp.uint32)  # [N,256]
+    words = bits.reshape(-1, N_WORDS, 32)
+    shifts = jnp.arange(32, dtype=jnp.uint32)
+    return jnp.sum(words << shifts[None, None, :], axis=-1)
+
+
+@partial(jax.jit, static_argnames=("spec", "threshold", "cell", "cell_k"))
+def extract_orb(
+    image: jax.Array,
+    spec: PyramidSpec,
+    threshold: float = 12.0,
+    cell: int = 16,
+    cell_k: int = 4,
+) -> OrbFeatures:
+    """Full multi-level ORB extraction for one grayscale image (H,W) f32.
+
+    One XLA program: pyramid, dense FAST + NMS, spread selection,
+    orientation, blur, rBRIEF — all levels concatenated into a fixed
+    capacity table of spec.total_capacity rows.
+    """
+    levels = build_pyramid(image, spec)
+    outs = []
+    for lv, img in enumerate(levels):
+        H, W = spec.sizes[lv]
+        budget = spec.budgets[lv]
+        if budget == 0:
+            continue
+        score = fast_corners(img, threshold)
+        ys = jnp.arange(H)[:, None]
+        xs = jnp.arange(W)[None, :]
+        b = EDGE_THRESHOLD
+        inside = (ys >= b) & (ys < H - b) & (xs >= b) & (xs < W - b)
+        score = jnp.where(inside, score, 0.0)
+        xy, resp, valid = grid_topk(score, budget, cell=cell, cell_k=cell_k)
+        xy_int = xy.astype(jnp.int32)
+        ang = ic_angle(img, xy_int)
+        blurred = gaussian_blur(img)
+        desc = rbrief(blurred, xy_int, ang)
+        s = spec.scales[lv]
+        outs.append(
+            OrbFeatures(
+                xy=xy * s,
+                response=resp,
+                angle=ang,
+                octave=jnp.full((budget,), lv, jnp.int32),
+                sigma2=jnp.full((budget,), spec.sigma2[lv], jnp.float32),
+                desc=desc,
+                valid=valid,
+            )
+        )
+    return OrbFeatures(*[jnp.concatenate(xs, axis=0) for xs in zip(*outs)])

@@ -1,0 +1,53 @@
+"""Spatially-spread corner selection: per-cell top-k then global top-K.
+
+TPU-native replacement for ORBextractor::DistributeOctTree (reference:
+src/ORBextractor.cc:539-765). The quadtree's purpose is to spread N corners
+uniformly over the image; we achieve the same with a fixed-shape two-stage
+selection: (1) cap each grid cell at CELL_K best corners, (2) take the
+global top-K of the surviving candidates. Both stages are jax.lax.top_k
+over statically-shaped tensors — no data-dependent shapes.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def grid_topk(
+    score: jax.Array,
+    k_total: int,
+    cell: int = 16,
+    cell_k: int = 4,
+) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """Select up to k_total corners from a sparse (H,W) score map.
+
+    Returns (xy (k_total,2) f32 [x,y], response (k_total,), valid (k_total,)).
+    Invalid slots have response 0.
+    """
+    H, W = score.shape
+    Hp = -(-H // cell) * cell
+    Wp = -(-W // cell) * cell
+    padded = jnp.pad(score, ((0, Hp - H), (0, Wp - W)))
+    ncy, ncx = Hp // cell, Wp // cell
+    cells = padded.reshape(ncy, cell, ncx, cell).transpose(0, 2, 1, 3)
+    cells = cells.reshape(ncy * ncx, cell * cell)
+
+    vals, idx = jax.lax.top_k(cells, cell_k)  # [ncells, cell_k]
+    # Recover absolute pixel coordinates of each candidate.
+    cy = jnp.arange(ncy * ncx) // ncx
+    cx = jnp.arange(ncy * ncx) % ncx
+    py = cy[:, None] * cell + idx // cell
+    px = cx[:, None] * cell + idx % cell
+
+    flat_vals = vals.reshape(-1)
+    flat_y = py.reshape(-1)
+    flat_x = px.reshape(-1)
+
+    top_vals, top_i = jax.lax.top_k(flat_vals, k_total)
+    xy = jnp.stack(
+        [flat_x[top_i].astype(jnp.float32), flat_y[top_i].astype(jnp.float32)],
+        axis=-1,
+    )
+    valid = top_vals > 0.0
+    return xy, top_vals, valid
