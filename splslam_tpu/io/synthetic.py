@@ -1,0 +1,125 @@
+"""Synthetic textured-plane sequences with exact ground-truth poses.
+
+Host-side test/benchmark utility (numpy): renders a camera moving in front
+of one or two textured planes. The reference validates against TUM/KITTI
+datasets (SURVEY §4); those aren't available in CI, so end-to-end tests
+and benchmarks run on these sequences where ATE can be computed against
+perfect ground truth.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from scipy.ndimage import gaussian_filter, map_coordinates
+
+
+def make_texture(size: int = 2048, seed: int = 0, scale_px: int = 4) -> np.ndarray:
+    r = np.random.default_rng(seed)
+    t = r.uniform(0, 1, size=(size // scale_px, size // scale_px))
+    t = np.kron(t, np.ones((scale_px, scale_px)))
+    t = gaussian_filter(t, 1.2)
+    t = (t - t.min()) / (np.ptp(t) + 1e-9) * 255.0
+    return t.astype(np.float32)
+
+
+class PlaneScene:
+    """World: plane z = z0 textured with `texture`; 1 world unit maps to
+    `px_per_unit` texture pixels. Optionally a second plane at z1 covering
+    the outer image region (depth variation exercises stereo + BA)."""
+
+    def __init__(self, texture: np.ndarray, z0: float = 5.0,
+                 z1: float | None = 12.0, px_per_unit: float = 100.0):
+        self.tex = texture
+        self.z0 = z0
+        self.z1 = z1
+        self.ppu = px_per_unit
+
+    def render(self, K: np.ndarray, Twc: np.ndarray, height: int, width: int) -> np.ndarray:
+        """Render the view from camera-to-world pose Twc (4,4)."""
+        us, vs = np.meshgrid(np.arange(width), np.arange(height))
+        pix = np.stack([us, vs, np.ones_like(us)], axis=-1).reshape(-1, 3)
+        rays_c = pix @ np.linalg.inv(K).T
+        R = Twc[:3, :3]
+        o = Twc[:3, 3]
+        rays_w = rays_c @ R.T
+
+        def plane_uv(z_plane, mask_extra=None):
+            dz = rays_w[:, 2]
+            t = (z_plane - o[2]) / np.where(np.abs(dz) < 1e-9, 1e-9, dz)
+            p = o[None] + rays_w * t[:, None]
+            return p, t
+
+        p0, t0 = plane_uv(self.z0)
+        use0 = t0 > 0
+        if self.z1 is not None:
+            # quadrant depth pattern: diagonal quadrants see the near
+            # plane, the others the far plane — the asymmetric depth
+            # layout separates yaw from lateral translation (a fully
+            # fronto-parallel scene is degenerate for that pair)
+            cx, cy = K[0, 2], K[1, 2]
+            near = (pix[:, 0] < cx) ^ (pix[:, 1] < cy)
+            p1, t1 = plane_uv(self.z1)
+            p = np.where((use0 & near)[:, None], p0, p1)
+        else:
+            p = p0
+        tx = p[:, 0] * self.ppu + self.tex.shape[1] / 2
+        ty = p[:, 1] * self.ppu + self.tex.shape[0] / 2
+        img = map_coordinates(self.tex, [ty, tx], order=1, mode="wrap")
+        return img.reshape(height, width).astype(np.float32)
+
+
+def make_stereo_sequence(
+    n_frames: int = 30,
+    width: int = 320,
+    height: int = 240,
+    fx: float = 200.0,
+    baseline: float = 0.12,
+    seed: int = 0,
+    motion: str = "lateral",
+):
+    """Returns (K, bf, list[(imgL, imgR)], gt_Twc [F,4,4])."""
+    K = np.array([[fx, 0, width / 2], [0, fx, height / 2], [0, 0, 1]], np.float32)
+    scene = PlaneScene(make_texture(seed=seed))
+    poses = []
+    frames = []
+    for i in range(n_frames):
+        Twc = np.eye(4)
+        if motion == "lateral":
+            Twc[0, 3] = 0.04 * i
+            Twc[1, 3] = 0.01 * np.sin(i * 0.3)
+        elif motion == "forward":
+            Twc[2, 3] = 0.03 * i
+            Twc[0, 3] = 0.01 * i
+        else:  # arc
+            th = 0.01 * i
+            c, s = np.cos(th), np.sin(th)
+            Twc[:3, :3] = np.array([[c, 0, s], [0, 1, 0], [-s, 0, c]])
+            Twc[0, 3] = 0.05 * i
+        poses.append(Twc.copy())
+        imgL = scene.render(K, Twc, height, width)
+        Twc_r = Twc.copy()
+        Twc_r[:3, 3] = Twc[:3, 3] + Twc[:3, :3] @ np.array([baseline, 0, 0])
+        imgR = scene.render(K, Twc_r, height, width)
+        frames.append((imgL, imgR))
+    return K, fx * baseline, frames, np.stack(poses)
+
+
+def ate_rmse(est_Twc: np.ndarray, gt_Twc: np.ndarray, align: bool = True) -> float:
+    """Absolute trajectory error (RMSE of translation) after optional
+    Horn/umeyama SE3 alignment — the reference's evaluation metric
+    (report p.1: ATE-RMSE after Horn alignment)."""
+    p_est = est_Twc[:, :3, 3]
+    p_gt = gt_Twc[: len(p_est), :3, 3]
+    if align and len(p_est) >= 3:
+        mu_e = p_est.mean(0)
+        mu_g = p_gt.mean(0)
+        E = p_est - mu_e
+        G = p_gt - mu_g
+        U, _, Vt = np.linalg.svd(E.T @ G)
+        S = np.eye(3)
+        if np.linalg.det(U @ Vt) < 0:
+            S[2, 2] = -1
+        R = Vt.T @ S @ U.T
+        p_est = (R @ E.T).T + mu_g
+        p_gt = G + mu_g
+    return float(np.sqrt(np.mean(np.sum((p_est - p_gt) ** 2, axis=1))))

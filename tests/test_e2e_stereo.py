@@ -1,0 +1,59 @@
+"""End-to-end stereo visual odometry on a synthetic sequence.
+
+The minimum end-to-end slice (SURVEY §7.2 step 3): stereo frames ->
+tracking -> trajectory, ATE-RMSE against exact ground truth.
+"""
+
+import numpy as np
+import pytest
+
+from splslam_tpu.io.synthetic import ate_rmse, make_stereo_sequence
+from splslam_tpu.slam.system import Sensor, Settings, System, TrackingState
+
+
+def run_vo(motion, n_frames=20, mapping=False):
+    K, bf, frames, gt = make_stereo_sequence(
+        n_frames=n_frames, motion=motion, width=320, height=240
+    )
+    st = Settings(
+        fx=float(K[0, 0]), fy=float(K[1, 1]), cx=float(K[0, 2]), cy=float(K[1, 2]),
+        bf=float(bf), width=320, height=240, n_features=600, n_levels=4,
+        th_depth=40.0, fps=10,
+        max_points=8192, max_keyframes=64, local_window=1024,
+        enable_local_mapping=mapping,
+    )
+    sysm = System(st, Sensor.STEREO)
+    for i, (l, r) in enumerate(frames):
+        sysm.track_stereo(l, r, i * 0.1)
+    return sysm, gt
+
+
+class TestStereoVO:
+    @pytest.mark.parametrize("motion", ["lateral", "forward"])
+    def test_tracks_and_low_ate(self, motion):
+        sysm, gt = run_vo(motion)
+        assert sysm.get_tracking_state() == TrackingState.OK
+        est = sysm.poses()
+        assert est.shape[0] == gt.shape[0]
+        err = ate_rmse(est, gt)
+        # Scene depth ~8m, motion ~0.8m total; a few cm is healthy VO.
+        assert err < 0.05, err
+
+    def test_trajectory_export(self, tmp_path):
+        sysm, gt = run_vo("lateral", n_frames=8)
+        tum = tmp_path / "traj_tum.txt"
+        kitti = tmp_path / "traj_kitti.txt"
+        sysm.save_trajectory_tum(str(tum))
+        sysm.save_trajectory_kitti(str(kitti))
+        tum_lines = tum.read_text().strip().split("\n")
+        assert len(tum_lines) == 8
+        assert len(tum_lines[0].split()) == 8
+        kitti_lines = kitti.read_text().strip().split("\n")
+        assert len(kitti_lines[0].split()) == 12
+
+    def test_reset(self):
+        sysm, _ = run_vo("lateral", n_frames=5)
+        sysm.reset()
+        assert sysm.get_tracking_state() == TrackingState.NO_IMAGES_YET
+        assert sysm.n_kfs == 0
+        assert len(sysm.trajectory) == 0
