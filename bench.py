@@ -1,0 +1,66 @@
+"""Headline benchmark: stereo tracking FPS per chip at KITTI resolution.
+
+Baseline (BASELINE.md): the reference CPU system tracks KITTI stereo at
+72.99 ms/frame (~13.7 FPS). This benchmark runs the full per-frame
+pipeline (stereo frame build: pyramid + FAST + ORB + stereo match, then
+motion-model match + pose GN + local-map match + pose GN) on
+KITTI-sized (1241x376) synthetic stereo frames with the KITTI feature
+budget (2000), measuring steady-state wall-clock per frame on one chip.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"} where
+value = frames per second and vs_baseline = FPS / 13.70.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import numpy as np
+
+BASELINE_MS = 72.99  # reference KITTI stereo tracking total, BASELINE.md
+KITTI_W, KITTI_H = 1241, 376
+
+
+def main() -> None:
+    from splslam_tpu.io.synthetic import make_stereo_sequence
+    from splslam_tpu.slam.system import Sensor, Settings, System
+
+    n_frames = 40
+    warmup = 8
+    K, bf, frames, gt = make_stereo_sequence(
+        n_frames=n_frames, width=KITTI_W, height=KITTI_H,
+        fx=718.0, baseline=0.54, motion="forward", seed=3,
+    )
+    st = Settings(
+        fx=float(K[0, 0]), fy=float(K[1, 1]), cx=float(K[0, 2]),
+        cy=float(K[1, 2]), bf=float(bf), width=KITTI_W, height=KITTI_H,
+        n_features=2000, n_levels=8, th_depth=35.0, fps=10.0,
+        max_points=65536, max_keyframes=256, local_window=2048,
+        enable_local_mapping=False,
+    )
+    sysm = System(st, Sensor.STEREO)
+
+    times = []
+    for i, (l, r) in enumerate(frames):
+        t0 = time.perf_counter()
+        sysm.track_stereo(l, r, i * 0.1)
+        dt = time.perf_counter() - t0
+        if i >= warmup:
+            times.append(dt)
+        print(f"frame {i}: {dt*1000:.1f} ms state={sysm.state.name}",
+              file=sys.stderr)
+
+    ms = float(np.median(times) * 1000.0)
+    fps = 1000.0 / ms
+    print(json.dumps({
+        "metric": "kitti_stereo_tracking_fps_per_chip",
+        "value": round(fps, 2),
+        "unit": "frames/s",
+        "vs_baseline": round(fps / (1000.0 / BASELINE_MS), 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()
