@@ -27,6 +27,7 @@ class LocalMapper:
     def __init__(self, system):
         self.sys = system
         self.recent_pts: list[tuple[int, int]] = []  # (lm_id, birth_kf)
+        self.big_change_idx = 0  # reference Map::mnBigChangeIdx
 
     def on_keyframe(self, kf_idx: int):
         sys = self.sys

@@ -1,0 +1,239 @@
+"""The fused per-frame pipeline: one device dispatch per tracked frame.
+
+Latency engineering for the tunnel-attached TPU: the naive orchestration
+(separate calls for frame build, covisibility, window gathers, tracking,
+stat updates + several blocking host fetches) pays a network round trip
+per call. This module fuses EVERYTHING the tracker needs per frame into a
+single jitted program:
+
+    images -> frame build -> covisibility top-k -> local window dedupe ->
+    motion-model match -> pose GN -> local-map match -> pose GN ->
+    landmark stat updates -> packed scalar stats
+
+The host receives one small packed stats vector (pose + counters) per
+frame — a single D2H transfer — and keeps all large state (map tables,
+frame features) resident on device. Keyframe insertion is a second fused
+program at keyframe rate (~1/10 frames).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from splslam_tpu.geometry.camera import Camera
+from splslam_tpu.ops.pyramid import PyramidSpec
+from splslam_tpu.slam import map as mapmod
+from splslam_tpu.slam.frame import FrameData, build_frame_stereo
+from splslam_tpu.slam.tracking import LocalWindow, track_step
+from splslam_tpu.slam.map import MapState
+
+# packed stats layout
+S_POSE = slice(0, 16)
+S_N_MM = 16
+S_N_IN = 17
+S_CLOSE_TRACKED = 18
+S_CLOSE_UNTRACKED = 19
+S_N_DEPTH = 20
+STATS_LEN = 21
+
+
+class StepState(NamedTuple):
+    """Device-resident tracker state carried frame to frame."""
+
+    frame: FrameData
+    lm_gid: jax.Array   # [N]
+    lm_xyz: jax.Array   # [N,3]
+    Tcw: jax.Array      # (4,4)
+
+
+def assemble_local_window(
+    st: MapState, last_lm_gid: jax.Array, m_local: int, k_top: int = 10
+) -> LocalWindow:
+    """Device-side UpdateLocalMap (reference Tracking.cc:2595): keyframes
+    ranked by shared-landmark count with the last frame; their landmark
+    ids deduplicated into a fixed M-slot window."""
+    cov = mapmod.covisibility_counts(st, last_lm_gid)  # [K]
+    k_top = min(k_top, cov.shape[0])
+    top_cov, top_kf = jax.lax.top_k(cov, k_top)
+    rows = st.kfs.lm_idx[top_kf]                        # [k_top, N]
+    rows = jnp.where((top_cov > 0)[:, None], rows, -1)
+    flat = rows.reshape(-1)
+    F = flat.shape[0]
+    s = jnp.sort(flat)
+    first = jnp.concatenate(
+        [s[:1] >= 0, (s[1:] != s[:-1]) & (s[1:] >= 0)]
+    )
+    key = jnp.where(first, jnp.arange(F, dtype=jnp.int32), F)
+    neg_sel = jax.lax.top_k(-key, m_local)[0]
+    sel = -neg_sel
+    ids = jnp.where(sel < F, s[jnp.clip(sel, 0, F - 1)], -1)
+    safe = jnp.clip(ids, 0)
+    pts = st.pts
+    return LocalWindow(
+        ids=ids,
+        xyz=pts.xyz[safe],
+        desc=pts.desc[safe],
+        normal=pts.normal[safe],
+        dmin=pts.dmin[safe],
+        dmax=pts.dmax[safe],
+        ok=(ids >= 0) & pts.valid[safe],
+    )
+
+
+@partial(
+    jax.jit,
+    static_argnames=("spec", "m_local", "scale_factor", "n_levels", "line_capacity"),
+    donate_argnames=("map_state",),
+)
+def vo_frame_step(
+    img_left: jax.Array,
+    img_right: jax.Array,
+    map_state: MapState,
+    prev: StepState,
+    T_pred: jax.Array,
+    th_depth_m: jax.Array,
+    cam: Camera,
+    spec: PyramidSpec,
+    scales: jax.Array,
+    m_local: int = 2048,
+    scale_factor: float = 1.2,
+    n_levels: int = 8,
+    line_capacity: int = 8,
+) -> tuple[MapState, StepState, jax.Array]:
+    """One stereo frame, end to end, on device. Returns
+    (map_state, new_step_state, packed_stats[STATS_LEN])."""
+    frame = build_frame_stereo(
+        img_left.astype(jnp.float32), img_right.astype(jnp.float32), cam, spec,
+        line_capacity=line_capacity,
+    )
+    return _track_body(frame, map_state, prev, T_pred, th_depth_m, cam,
+                       scales, m_local, scale_factor, n_levels)
+
+
+def _track_body(frame, map_state, prev, T_pred, th_depth_m, cam, scales,
+                m_local, scale_factor, n_levels):
+    win = assemble_local_window(map_state, prev.lm_gid, m_local)
+    res = track_step(
+        cam, scales, frame,
+        prev.frame.feat.xy, prev.frame.feat.octave, prev.frame.feat.angle,
+        prev.frame.feat.desc,
+        prev.lm_xyz, prev.lm_gid,
+        T_pred, win,
+        scale_factor=scale_factor, n_levels=n_levels,
+    )
+    # landmark visibility/found statistics
+    map_state = mapmod.update_point_stats(
+        map_state, res.visible_ids,
+        jnp.ones_like(res.visible_ids, bool),
+        jnp.zeros_like(res.visible_ids, bool),
+    )
+    map_state = mapmod.update_point_stats(
+        map_state, res.found_ids,
+        jnp.zeros_like(res.found_ids, bool),
+        jnp.ones_like(res.found_ids, bool),
+    )
+    # keyframe-policy stats
+    close = (frame.depth > 0) & (frame.depth < th_depth_m)
+    n_close_tracked = jnp.sum((close & res.inlier).astype(jnp.int32))
+    n_close_untracked = jnp.sum((close & ~res.inlier).astype(jnp.int32))
+    n_depth = jnp.sum((frame.depth > 0).astype(jnp.int32))
+
+    stats = jnp.zeros((STATS_LEN,), jnp.float32)
+    stats = stats.at[S_POSE].set(res.Tcw.reshape(-1))
+    stats = stats.at[S_N_MM].set(res.n_mm_matches.astype(jnp.float32))
+    stats = stats.at[S_N_IN].set(res.n_inliers.astype(jnp.float32))
+    stats = stats.at[S_CLOSE_TRACKED].set(n_close_tracked.astype(jnp.float32))
+    stats = stats.at[S_CLOSE_UNTRACKED].set(n_close_untracked.astype(jnp.float32))
+    stats = stats.at[S_N_DEPTH].set(n_depth.astype(jnp.float32))
+
+    new_state = StepState(
+        frame=frame,
+        lm_gid=res.lm_gid,
+        lm_xyz=map_state.pts.xyz[jnp.clip(res.lm_gid, 0)],
+        Tcw=res.Tcw,
+    )
+    return map_state, new_state, stats
+
+
+@partial(
+    jax.jit,
+    static_argnames=("spec", "scale_factor", "n_levels", "max_new", "is_stereo"),
+    donate_argnames=("map_state",),
+)
+def add_keyframe_step(
+    map_state: MapState,
+    state: StepState,
+    frame_id: jax.Array,
+    ts: jax.Array,
+    depth_limit: jax.Array,
+    cam: Camera,
+    spec: PyramidSpec,
+    scale_factor: float = 1.2,
+    n_levels: int = 8,
+    max_new: int = 200,
+    is_stereo: bool = True,
+) -> tuple[MapState, StepState, jax.Array]:
+    """Fused keyframe insertion + stereo landmark creation (reference
+    CreateNewKeyFrame, src/Tracking.cc:2337-2416). Returns
+    (map, state-with-updated-associations, [kf_idx, n_matches, n_pts])."""
+    frame = state.frame
+    no_ll = jnp.full((frame.lines.capacity,), -1, jnp.int32)
+    map_state, kf = mapmod.insert_keyframe(
+        map_state, frame, state.Tcw, state.lm_gid, no_ll, frame_id, ts
+    )
+    lm_gid = state.lm_gid
+    if is_stereo:
+        map_state, lm_gid = mapmod.create_stereo_points(
+            map_state, kf, frame, state.Tcw, lm_gid,
+            cam.fx, cam.fy, cam.cx, cam.cy, depth_limit,
+            scale_factor, n_levels, max_new=max_new,
+        )
+    out = jnp.stack(
+        [
+            kf.astype(jnp.float32),
+            jnp.sum((lm_gid >= 0).astype(jnp.int32)).astype(jnp.float32),
+            map_state.n_pts.astype(jnp.float32),
+        ]
+    )
+    new_state = state._replace(
+        lm_gid=lm_gid,
+        lm_xyz=map_state.pts.xyz[jnp.clip(lm_gid, 0)],
+    )
+    return map_state, new_state, out
+
+
+@partial(
+    jax.jit,
+    static_argnames=("spec", "m_local", "scale_factor", "n_levels", "depth_factor", "line_capacity"),
+    donate_argnames=("map_state",),
+)
+def vo_frame_step_rgbd(
+    image: jax.Array,
+    depth_map: jax.Array,
+    map_state: MapState,
+    prev: StepState,
+    T_pred: jax.Array,
+    th_depth_m: jax.Array,
+    cam: Camera,
+    spec: PyramidSpec,
+    scales: jax.Array,
+    m_local: int = 2048,
+    scale_factor: float = 1.2,
+    n_levels: int = 8,
+    depth_factor: float = 1.0,
+    line_capacity: int = 8,
+) -> tuple[MapState, StepState, jax.Array]:
+    """RGB-D variant of vo_frame_step (reference GrabImageRGBD ->
+    point-only Track, src/Tracking.cc:327-358)."""
+    from splslam_tpu.slam.frame import build_frame_rgbd
+
+    frame = build_frame_rgbd(
+        image.astype(jnp.float32), depth_map.astype(jnp.float32), cam, spec,
+        depth_factor=depth_factor, line_capacity=line_capacity,
+    )
+    return _track_body(frame, map_state, prev, T_pred, th_depth_m, cam,
+                       scales, m_local, scale_factor, n_levels)

@@ -8,28 +8,27 @@ of Tracking's state machine (src/Tracking.cc:419-683: NOT_INITIALIZED ->
 OK -> LOST transitions, keyframe policy, velocity model, trajectory
 bookkeeping).
 
-Heavy work is all in jitted kernels; this layer only:
-  - feeds images to the frame builders,
-  - assembles the padded local-map window from covisibility,
-  - applies keyframe decisions (NeedNewKeyFrame, reference
-    src/Tracking.cc:2181-2336) and map updates,
-  - records the per-frame relative-pose trajectory exactly as the
-    reference does (Tcr relative to the reference KF, reconstructed
-    against final keyframe poses on save — src/System.cc:369-395).
+All per-frame compute runs in ONE fused device program
+(slam/pipeline.vo_frame_step); the host sees a packed 21-float stats
+vector per frame and applies only control-flow: keyframe decisions
+(NeedNewKeyFrame, reference src/Tracking.cc:2181-2336), fallbacks, the
+velocity model, and the per-frame relative-pose trajectory log exactly as
+the reference keeps it (Tcr vs the reference KF, reconstructed against
+final keyframe poses on save — src/System.cc:369-395).
 """
 
 from __future__ import annotations
 
 import enum
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
-import jax
 import jax.numpy as jnp
 import numpy as np
 
 from splslam_tpu.geometry.camera import Camera
 from splslam_tpu.ops.pyramid import PyramidSpec
 from splslam_tpu.slam import map as mapmod
+from splslam_tpu.slam import pipeline
 from splslam_tpu.slam.frame import (
     FrameData,
     build_frame_mono,
@@ -37,11 +36,8 @@ from splslam_tpu.slam.frame import (
     build_frame_stereo,
 )
 from splslam_tpu.slam.local_mapping import LocalMapper
-from splslam_tpu.slam.tracking import (
-    LocalWindow,
-    bow_free_refkf_match,
-    track_step,
-)
+from splslam_tpu.slam.pipeline import StepState
+from splslam_tpu.slam.tracking import bow_free_refkf_match
 
 
 class Sensor(enum.Enum):
@@ -85,7 +81,7 @@ class Settings:
     n_levels: int = 8
     ini_th_fast: float = 20.0
     min_th_fast: float = 7.0
-    # Lineextractor.* (subset; see io/config.py for the full key map)
+    # Lineextractor.* / System.usingLine
     using_line: bool = False
     line_features: int = 128
     # capacities
@@ -105,7 +101,9 @@ class Settings:
 
     @property
     def has_distortion(self) -> bool:
-        return any(abs(v) > 1e-12 for v in (self.k1, self.k2, self.p1, self.p2, self.k3))
+        return any(
+            abs(v) > 1e-12 for v in (self.k1, self.k2, self.p1, self.p2, self.k3)
+        )
 
 
 @dataclass
@@ -114,7 +112,7 @@ class _TrajEntry:
     Tcr: np.ndarray     # pose relative to reference keyframe
     ref_kf: int
     lost: bool
-    Tcw: np.ndarray     # absolute (for online use / KITTI mono export)
+    Tcw: np.ndarray     # absolute (online estimate)
 
 
 class System:
@@ -131,6 +129,10 @@ class System:
         self.scales = jnp.array(self.spec.scales, jnp.float32)
         self.state = TrackingState.NO_IMAGES_YET
         self.localization_only = False
+        self.th_depth_m = (
+            float(settings.bf) / settings.fx * settings.th_depth
+            if settings.bf > 0 else 1e9
+        )
         self._reset_runtime()
         self.mapper = LocalMapper(self)
 
@@ -148,35 +150,63 @@ class System:
         self.ref_kf = -1
         self.ref_kf_matches = 0
         self.frames_since_kf = 0
-        self.last: FrameData | None = None
-        self.last_lm_gid = None    # [N] device
-        self.last_lm_xyz = None    # [N,3] device
-        self.last_Tcw = jnp.eye(4)
-        self.velocity = jnp.eye(4)
+        self.step: StepState | None = None
+        self.last_Tcw_np = np.eye(4, dtype=np.float32)
+        self.velocity_np = np.eye(4, dtype=np.float32)
+        self.kf_pose_host: dict[int, np.ndarray] = {}
         self.trajectory: list[_TrajEntry] = []
-        self._local_ids_np = np.zeros((self.settings.local_window,), np.int32) - 1
+        self.mono_state = None  # used by the monocular path
 
     # ------------------------------------------------------------------
     # public API (reference System.h:84-128)
     # ------------------------------------------------------------------
     def track_stereo(self, img_left, img_right, timestamp: float) -> np.ndarray:
-        frame = build_frame_stereo(
-            jnp.asarray(img_left, jnp.float32),
-            jnp.asarray(img_right, jnp.float32),
-            self.cam, self.spec,
+        imgL = jnp.asarray(img_left, jnp.float32)
+        imgR = jnp.asarray(img_right, jnp.float32)
+        if self.state in (TrackingState.NO_IMAGES_YET, TrackingState.NOT_INITIALIZED):
+            frame = build_frame_stereo(
+                imgL, imgR, self.cam, self.spec,
+                line_capacity=self.settings.line_features,
+            )
+            self._stereo_initialize(frame, timestamp)
+            return self.last_Tcw_np.copy()
+
+        T_pred = jnp.asarray(self.velocity_np @ self.last_Tcw_np)
+        self.map, new_step, stats_dev = pipeline.vo_frame_step(
+            imgL, imgR, self.map, self.step, T_pred,
+            jnp.float32(self.th_depth_m),
+            self.cam, self.spec, self.scales,
+            m_local=self.settings.local_window,
+            scale_factor=self.settings.scale_factor,
+            n_levels=self.settings.n_levels,
             line_capacity=self.settings.line_features,
         )
-        return self._track(frame, timestamp)
+        return self._after_step(new_step, stats_dev, timestamp)
 
     def track_rgbd(self, img, depth, timestamp: float) -> np.ndarray:
-        frame = build_frame_rgbd(
-            jnp.asarray(img, jnp.float32),
-            jnp.asarray(depth, jnp.float32),
-            self.cam, self.spec,
+        imgj = jnp.asarray(img, jnp.float32)
+        depthj = jnp.asarray(depth, jnp.float32)
+        if self.state in (TrackingState.NO_IMAGES_YET, TrackingState.NOT_INITIALIZED):
+            frame = build_frame_rgbd(
+                imgj, depthj, self.cam, self.spec,
+                depth_factor=self.settings.depth_map_factor,
+                line_capacity=self.settings.line_features,
+            )
+            self._stereo_initialize(frame, timestamp)
+            return self.last_Tcw_np.copy()
+
+        T_pred = jnp.asarray(self.velocity_np @ self.last_Tcw_np)
+        self.map, new_step, stats_dev = pipeline.vo_frame_step_rgbd(
+            imgj, depthj, self.map, self.step, T_pred,
+            jnp.float32(self.th_depth_m),
+            self.cam, self.spec, self.scales,
+            m_local=self.settings.local_window,
+            scale_factor=self.settings.scale_factor,
+            n_levels=self.settings.n_levels,
             depth_factor=self.settings.depth_map_factor,
             line_capacity=self.settings.line_features,
         )
-        return self._track(frame, timestamp)
+        return self._after_step(new_step, stats_dev, timestamp)
 
     def track_mono(self, img, timestamp: float) -> np.ndarray:
         frame = build_frame_mono(
@@ -186,7 +216,9 @@ class System:
             with_lines=self.settings.using_line,
             line_capacity=self.settings.line_features,
         )
-        return self._track_mono(frame, timestamp)
+        from splslam_tpu.slam import mono
+
+        return mono.track_mono(self, frame, timestamp)
 
     def activate_localization_mode(self):
         self.localization_only = True
@@ -197,74 +229,59 @@ class System:
     def get_tracking_state(self) -> TrackingState:
         return self.state
 
+    def map_changed(self) -> bool:
+        return self.mapper.big_change_idx > 0
+
     def reset(self):
         self._reset_runtime()
+        self.mapper = LocalMapper(self)
         self.state = TrackingState.NO_IMAGES_YET
 
     def shutdown(self):
         self.mapper.flush()
 
     # ------------------------------------------------------------------
-    # stereo / RGB-D path (point-only, like the reference)
+    # per-frame control flow
     # ------------------------------------------------------------------
-    def _track(self, frame: FrameData, ts: float) -> np.ndarray:
-        if self.state in (TrackingState.NO_IMAGES_YET, TrackingState.NOT_INITIALIZED):
-            self._stereo_initialize(frame, ts)
-            return np.array(self.last_Tcw)
-
-        T_pred = self.velocity @ self.last_Tcw
-        win = self._local_window()
-        res = track_step(
-            self.cam, self.scales, frame,
-            self.last.feat.xy, self.last.feat.octave, self.last.feat.angle,
-            self.last.feat.desc,
-            self.last_lm_xyz, self.last_lm_gid,
-            T_pred, win,
-            scale_factor=self.settings.scale_factor,
-            n_levels=self.settings.n_levels,
-        )
-        n_mm = int(res.n_mm_matches)
-        n_in = int(res.n_inliers)
+    def _after_step(self, new_step: StepState, stats_dev, ts: float) -> np.ndarray:
+        stats = np.asarray(stats_dev)  # the one blocking fetch per frame
+        n_mm = int(stats[pipeline.S_N_MM])
+        n_in = int(stats[pipeline.S_N_IN])
+        Tcw_np = stats[pipeline.S_POSE].reshape(4, 4).astype(np.float32)
 
         if n_mm < 20 or n_in < 10:
             # Fallback: reference keyframe match (TrackReferenceKeyFrame).
-            res = self._track_refkf(frame)
+            res = self._track_refkf(new_step.frame)
             n_in = int(res.n_inliers)
+            if n_in >= 10:
+                Tcw_np = np.asarray(res.Tcw, dtype=np.float32)
+                new_step = StepState(
+                    frame=new_step.frame,
+                    lm_gid=res.lm_gid,
+                    lm_xyz=self.map.pts.xyz[jnp.clip(res.lm_gid, 0)],
+                    Tcw=res.Tcw,
+                )
 
         if n_in < 10:
             self.state = TrackingState.LOST
-            self._log_frame(ts, self.last_Tcw, lost=True)
-            # Keep last pose; a relocalization module (BoW+EPnP) recovers
-            # in later rounds of the build.
+            self._log_frame(ts, self.last_Tcw_np, lost=True)
             self.frame_id += 1
-            return np.array(self.last_Tcw)
+            # keep last step state so a future frame can re-acquire
+            return self.last_Tcw_np.copy()
 
         self.state = TrackingState.OK
-        Tcw = res.Tcw
-        # landmark stats
-        self.map = mapmod.update_point_stats(
-            self.map,
-            res.visible_ids,
-            jnp.ones_like(res.visible_ids, bool),
-            jnp.zeros_like(res.visible_ids, bool),
-        )
-        self.map = mapmod.update_point_stats(
-            self.map,
-            res.found_ids,
-            jnp.zeros_like(res.found_ids, bool),
-            jnp.ones_like(res.found_ids, bool),
-        )
+        self.step = new_step
 
-        # keyframe policy
-        if not self.localization_only and self._need_new_keyframe(frame, res, n_in):
-            self._create_keyframe(frame, Tcw, res.lm_gid, ts)
+        if not self.localization_only and self._need_new_keyframe(stats, n_in):
+            self._create_keyframe(ts)
         else:
             self.frames_since_kf += 1
 
-        # velocity model + last-frame state
-        self.velocity = Tcw @ jnp.linalg.inv(self.last_Tcw)
-        self._finish_frame(frame, Tcw, res.lm_gid, ts)
-        return np.array(Tcw)
+        self.velocity_np = Tcw_np @ np.linalg.inv(self.last_Tcw_np)
+        self.last_Tcw_np = Tcw_np
+        self._log_frame(ts, Tcw_np, lost=False)
+        self.frame_id += 1
+        return Tcw_np.copy()
 
     def _track_refkf(self, frame: FrameData):
         k = self.ref_kf
@@ -274,7 +291,7 @@ class System:
         return bow_free_refkf_match(
             self.cam, frame,
             kfs.desc[k], kfs.angle[k], kfs.fvalid[k], lm, xyz,
-            self.last_Tcw,
+            jnp.asarray(self.last_Tcw_np),
         )
 
     def _stereo_initialize(self, frame: FrameData, ts: float):
@@ -286,132 +303,73 @@ class System:
             return
         Tcw = jnp.eye(4)
         n = frame.feat.capacity
-        no_lm = jnp.full((n,), -1, jnp.int32)
-        no_ll = jnp.full((frame.lines.capacity,), -1, jnp.int32)
-        self.map, kf = mapmod.insert_keyframe(
-            self.map, frame, Tcw, no_lm, no_ll,
-            jnp.int32(self.frame_id), jnp.float32(ts),
+        step = StepState(
+            frame=frame,
+            lm_gid=jnp.full((n,), -1, jnp.int32),
+            lm_xyz=jnp.zeros((n, 3)),
+            Tcw=Tcw,
         )
-        self.map, lm_gid = mapmod.create_stereo_points(
-            self.map, kf, frame, Tcw, no_lm,
-            self.cam.fx, self.cam.fy, self.cam.cx, self.cam.cy,
-            jnp.float32(1e9),
-            self.settings.scale_factor, self.settings.n_levels,
+        self.map, self.step, out = pipeline.add_keyframe_step(
+            self.map, step, jnp.int32(self.frame_id), jnp.float32(ts),
+            jnp.float32(1e9), self.cam, self.spec,
+            scale_factor=self.settings.scale_factor,
+            n_levels=self.settings.n_levels,
             max_new=1000,
         )
+        out = np.asarray(out)
+        kf = int(out[0])
         self.n_kfs = 1
-        self.n_pts = int(self.map.n_pts)
-        self.ref_kf = int(kf)
-        self.ref_kf_matches = self.n_pts
+        self.n_pts = int(out[2])
+        self.ref_kf = kf
+        self.ref_kf_matches = int(out[1])
         self.frames_since_kf = 0
+        self.kf_pose_host[kf] = np.eye(4, dtype=np.float32)
         self.state = TrackingState.OK
-        self._finish_frame(frame, Tcw, lm_gid, ts)
-        self.mapper.on_keyframe(int(kf))
+        self.last_Tcw_np = np.eye(4, dtype=np.float32)
+        self._log_frame(ts, self.last_Tcw_np, lost=False)
+        self.frame_id += 1
+        self.mapper.on_keyframe(kf)
 
-    def _need_new_keyframe(self, frame: FrameData, res, n_in: int) -> bool:
+    def _need_new_keyframe(self, stats: np.ndarray, n_in: int) -> bool:
         """Reference Tracking::NeedNewKeyFrame (src/Tracking.cc:2181)."""
-        s = self.settings
-        max_frames = int(s.fps)
-        # close-point bookkeeping (stereo/RGBD only)
-        th_depth_m = float(self.cam.bf) / s.fx * s.th_depth
-        depth = np.asarray(frame.depth)
-        inl = np.asarray(res.inlier)
-        close = (depth > 0) & (depth < th_depth_m)
-        n_tracked_close = int((close & inl).sum())
-        n_untracked_close = int((close & ~inl).sum())
+        if self.n_kfs >= self.settings.max_keyframes - 1:
+            return False
+        max_frames = int(self.settings.fps)
+        n_tracked_close = int(stats[pipeline.S_CLOSE_TRACKED])
+        n_untracked_close = int(stats[pipeline.S_CLOSE_UNTRACKED])
         need_close = (n_tracked_close < 100) and (n_untracked_close > 70)
 
         ref_matches = max(self.ref_kf_matches, 1)
         th_ratio = 0.75 if self.n_kfs > 2 else 0.4
         c1a = self.frames_since_kf >= max_frames
-        c1b = self.frames_since_kf >= 0  # mapper is synchronous => idle
         c1c = (n_in < ref_matches * 0.25) or need_close
         c2 = (n_in < ref_matches * th_ratio or need_close) and n_in > 15
-        return (c1a or (c1b and c1c)) and c2 or (c1a and c2)
+        return (c1a or c1c) and c2 or (c1a and c2)
 
-    def _create_keyframe(self, frame: FrameData, Tcw, lm_gid, ts: float):
-        no_ll = jnp.full((frame.lines.capacity,), -1, jnp.int32)
-        self.map, kf = mapmod.insert_keyframe(
-            self.map, frame, Tcw, lm_gid, no_ll,
-            jnp.int32(self.frame_id), jnp.float32(ts),
+    def _create_keyframe(self, ts: float):
+        self.map, self.step, out = pipeline.add_keyframe_step(
+            self.map, self.step, jnp.int32(self.frame_id), jnp.float32(ts),
+            jnp.float32(self.th_depth_m), self.cam, self.spec,
+            scale_factor=self.settings.scale_factor,
+            n_levels=self.settings.n_levels,
+            max_new=200,
+            is_stereo=self.sensor in (Sensor.STEREO, Sensor.RGBD),
         )
-        if self.sensor in (Sensor.STEREO, Sensor.RGBD):
-            th_depth_m = float(self.cam.bf) / self.settings.fx * self.settings.th_depth
-            self.map, lm_gid = mapmod.create_stereo_points(
-                self.map, kf, frame, Tcw, lm_gid,
-                self.cam.fx, self.cam.fy, self.cam.cx, self.cam.cy,
-                jnp.float32(th_depth_m),
-                self.settings.scale_factor, self.settings.n_levels,
-                max_new=200,
-            )
-        self.n_kfs = int(self.map.n_kfs)
-        self.n_pts = int(self.map.n_pts)
-        self.ref_kf = int(kf)
-        self.ref_kf_matches = int(jnp.sum((lm_gid >= 0).astype(jnp.int32)))
+        out = np.asarray(out)
+        kf = int(out[0])
+        self.n_kfs += 1
+        self.n_pts = int(out[2])
+        self.ref_kf = kf
+        self.ref_kf_matches = int(out[1])
         self.frames_since_kf = 0
-        self.mapper.on_keyframe(int(kf))
-        return lm_gid
+        self.kf_pose_host[kf] = np.asarray(self.step.Tcw, dtype=np.float32)
+        self.mapper.on_keyframe(kf)
 
-    def _finish_frame(self, frame: FrameData, Tcw, lm_gid, ts: float):
-        self.last = frame
-        self.last_lm_gid = lm_gid
-        self.last_lm_xyz = self.map.pts.xyz[jnp.clip(lm_gid, 0)]
-        self.last_Tcw = Tcw
-        self._log_frame(ts, Tcw, lost=False)
-        self.frame_id += 1
-
-    def _log_frame(self, ts: float, Tcw, lost: bool):
-        Tcw_np = np.array(Tcw)
+    def _log_frame(self, ts: float, Tcw_np: np.ndarray, lost: bool):
         ref = self.ref_kf
-        if ref >= 0:
-            Trw = np.array(self.map.kfs.Tcw[ref])
-            Tcr = Tcw_np @ np.linalg.inv(Trw)
-        else:
-            Tcr = np.eye(4)
-        self.trajectory.append(_TrajEntry(ts, Tcr, ref, lost, Tcw_np))
-
-    # ------------------------------------------------------------------
-    # local map window
-    # ------------------------------------------------------------------
-    def _local_window(self) -> LocalWindow:
-        """Landmarks of the keyframes covisible with the last frame
-        (reference Tracking::UpdateLocalMap, src/Tracking.cc:2595)."""
-        M_ = self.settings.local_window
-        cov = np.asarray(
-            mapmod.covisibility_counts(self.map, self.last_lm_gid)
-        )
-        k_top = min(10, self.n_kfs)
-        kf_ids = np.argsort(-cov)[:k_top]
-        kf_ids = kf_ids[cov[kf_ids] > 0]
-        if len(kf_ids) == 0:
-            kf_ids = np.array([self.ref_kf])
-        lm_rows = np.asarray(self.map.kfs.lm_idx[jnp.array(kf_ids)])
-        ids = np.unique(lm_rows[lm_rows >= 0])
-        if len(ids) > M_:
-            ids = ids[:M_]
-        padded = np.full((M_,), -1, np.int32)
-        padded[: len(ids)] = ids
-        self._local_ids_np = padded
-        idx = jnp.asarray(padded)
-        safe = jnp.clip(idx, 0)
-        pts = self.map.pts
-        return LocalWindow(
-            ids=idx,
-            xyz=pts.xyz[safe],
-            desc=pts.desc[safe],
-            normal=pts.normal[safe],
-            dmin=pts.dmin[safe],
-            dmax=pts.dmax[safe],
-            ok=(idx >= 0) & pts.valid[safe],
-        )
-
-    # ------------------------------------------------------------------
-    # monocular path (initialization added with the line pipeline round)
-    # ------------------------------------------------------------------
-    def _track_mono(self, frame: FrameData, ts: float) -> np.ndarray:
-        from splslam_tpu.slam import mono
-
-        return mono.track_mono(self, frame, ts)
+        Trw = self.kf_pose_host.get(ref, np.eye(4, dtype=np.float32))
+        Tcr = Tcw_np @ np.linalg.inv(Trw)
+        self.trajectory.append(_TrajEntry(ts, Tcr, ref, lost, Tcw_np.copy()))
 
     # ------------------------------------------------------------------
     # trajectory export (reference System.cc:340-540)
