@@ -101,11 +101,15 @@ def _bilinear(img: jax.Array, x: jax.Array, y: jax.Array) -> jax.Array:
     x0 = jnp.floor(x).astype(jnp.int32)
     y0 = jnp.floor(y).astype(jnp.int32)
     fx, fy = x - x0, y - y0
+    flat = img.reshape(-1)
+    base = y0 * W + x0
+    shp = base.shape
+    take = lambda i: jnp.take(flat, i.reshape(-1)).reshape(shp)
     return (
-        img[y0, x0] * (1 - fx) * (1 - fy)
-        + img[y0, x0 + 1] * fx * (1 - fy)
-        + img[y0 + 1, x0] * (1 - fx) * fy
-        + img[y0 + 1, x0 + 1] * fx * fy
+        take(base) * (1 - fx) * (1 - fy)
+        + take(base + 1) * fx * (1 - fy)
+        + take(base + W) * (1 - fx) * fy
+        + take(base + W + 1) * fx * fy
     )
 
 

@@ -69,7 +69,8 @@ def _gather_patches(image: jax.Array, xy: jax.Array, offsets_y: jax.Array,
     H, W = image.shape
     ys = jnp.clip(xy[:, 1][:, None] + offsets_y.reshape(1, -1), 0, H - 1)
     xs = jnp.clip(xy[:, 0][:, None] + offsets_x.reshape(1, -1), 0, W - 1)
-    vals = image[ys, xs]
+    # flat 1D gather: an order of magnitude faster than 2D gather on TPU
+    vals = jnp.take(image.reshape(-1), (ys * W + xs).reshape(-1))
     return vals.reshape((xy.shape[0],) + offsets_y.shape)
 
 
@@ -107,8 +108,11 @@ def rbrief(blurred: jax.Array, xy_int: jax.Array, angle: jax.Array) -> jax.Array
     H, W = blurred.shape
     cx = xy_int[:, 0][:, None]
     cy = xy_int[:, 1][:, None]
-    v1 = blurred[jnp.clip(cy + ry1, 0, H - 1), jnp.clip(cx + rx1, 0, W - 1)]
-    v2 = blurred[jnp.clip(cy + ry2, 0, H - 1), jnp.clip(cx + rx2, 0, W - 1)]
+    flat = blurred.reshape(-1)
+    i1 = jnp.clip(cy + ry1, 0, H - 1) * W + jnp.clip(cx + rx1, 0, W - 1)
+    i2 = jnp.clip(cy + ry2, 0, H - 1) * W + jnp.clip(cx + rx2, 0, W - 1)
+    v1 = jnp.take(flat, i1.reshape(-1)).reshape(i1.shape)
+    v2 = jnp.take(flat, i2.reshape(-1)).reshape(i2.shape)
     bits = (v1 < v2).astype(jnp.uint32)  # [N,256]
     words = bits.reshape(-1, N_WORDS, 32)
     shifts = jnp.arange(32, dtype=jnp.uint32)

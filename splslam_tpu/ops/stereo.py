@@ -38,10 +38,14 @@ def bilinear_sample(image: jax.Array, xy: jax.Array) -> jax.Array:
     y0 = jnp.floor(y).astype(jnp.int32)
     fx = x - x0
     fy = y - y0
-    v00 = image[y0, x0]
-    v01 = image[y0, x0 + 1]
-    v10 = image[y0 + 1, x0]
-    v11 = image[y0 + 1, x0 + 1]
+    flat = image.reshape(-1)
+    base = y0 * W + x0
+    shp = base.shape
+    take = lambda i: jnp.take(flat, i.reshape(-1)).reshape(shp)
+    v00 = take(base)
+    v01 = take(base + 1)
+    v10 = take(base + W)
+    v11 = take(base + W + 1)
     return (
         v00 * (1 - fx) * (1 - fy)
         + v01 * fx * (1 - fy)
@@ -150,7 +154,10 @@ def depth_from_rgbd(feat, depth_map: jax.Array, bf: jax.Array,
     depth image at each keypoint, synthesize a virtual right coordinate."""
     xy = feat.xy.astype(jnp.int32)
     H, W = depth_map.shape
-    d = depth_map[jnp.clip(xy[:, 1], 0, H - 1), jnp.clip(xy[:, 0], 0, W - 1)]
+    d = jnp.take(
+        depth_map.reshape(-1),
+        jnp.clip(xy[:, 1], 0, H - 1) * W + jnp.clip(xy[:, 0], 0, W - 1),
+    )
     d = d * depth_factor
     ok = feat.valid & (d > 0)
     u_right = jnp.where(ok, feat.xy[:, 0] - bf / jnp.maximum(d, 1e-6), -1.0)

@@ -42,12 +42,17 @@ STATS_LEN = 21
 
 
 class StepState(NamedTuple):
-    """Device-resident tracker state carried frame to frame."""
+    """Device-resident tracker state carried frame to frame.
+
+    Pose AND velocity live on device so the motion-model prediction
+    T_pred = velocity @ Tcw needs no host round trip (the tunnel-attached
+    TPU pays ~50 ms per blocking host sync)."""
 
     frame: FrameData
-    lm_gid: jax.Array   # [N]
-    lm_xyz: jax.Array   # [N,3]
-    Tcw: jax.Array      # (4,4)
+    lm_gid: jax.Array    # [N]
+    lm_xyz: jax.Array    # [N,3]
+    Tcw: jax.Array       # (4,4)
+    velocity: jax.Array  # (4,4) Tcw_i @ inv(Tcw_{i-1})
 
 
 def assemble_local_window(
@@ -94,7 +99,6 @@ def vo_frame_step(
     img_right: jax.Array,
     map_state: MapState,
     prev: StepState,
-    T_pred: jax.Array,
     th_depth_m: jax.Array,
     cam: Camera,
     spec: PyramidSpec,
@@ -110,12 +114,13 @@ def vo_frame_step(
         img_left.astype(jnp.float32), img_right.astype(jnp.float32), cam, spec,
         line_capacity=line_capacity,
     )
-    return _track_body(frame, map_state, prev, T_pred, th_depth_m, cam,
+    return _track_body(frame, map_state, prev, th_depth_m, cam,
                        scales, m_local, scale_factor, n_levels)
 
 
-def _track_body(frame, map_state, prev, T_pred, th_depth_m, cam, scales,
+def _track_body(frame, map_state, prev, th_depth_m, cam, scales,
                 m_local, scale_factor, n_levels):
+    T_pred = prev.velocity @ prev.Tcw
     win = assemble_local_window(map_state, prev.lm_gid, m_local)
     res = track_step(
         cam, scales, frame,
@@ -150,11 +155,14 @@ def _track_body(frame, map_state, prev, T_pred, th_depth_m, cam, scales,
     stats = stats.at[S_CLOSE_UNTRACKED].set(n_close_untracked.astype(jnp.float32))
     stats = stats.at[S_N_DEPTH].set(n_depth.astype(jnp.float32))
 
+    # Velocity model on device (reference Tracking.cc:652 mVelocity).
+    velocity = res.Tcw @ jnp.linalg.inv(prev.Tcw)
     new_state = StepState(
         frame=frame,
         lm_gid=res.lm_gid,
         lm_xyz=map_state.pts.xyz[jnp.clip(res.lm_gid, 0)],
         Tcw=res.Tcw,
+        velocity=velocity,
     )
     return map_state, new_state, stats
 
@@ -216,7 +224,6 @@ def vo_frame_step_rgbd(
     depth_map: jax.Array,
     map_state: MapState,
     prev: StepState,
-    T_pred: jax.Array,
     th_depth_m: jax.Array,
     cam: Camera,
     spec: PyramidSpec,
@@ -235,5 +242,5 @@ def vo_frame_step_rgbd(
         image.astype(jnp.float32), depth_map.astype(jnp.float32), cam, spec,
         depth_factor=depth_factor, line_capacity=line_capacity,
     )
-    return _track_body(frame, map_state, prev, T_pred, th_depth_m, cam,
+    return _track_body(frame, map_state, prev, th_depth_m, cam,
                        scales, m_local, scale_factor, n_levels)

@@ -20,6 +20,7 @@ final keyframe poses on save — src/System.cc:369-395).
 from __future__ import annotations
 
 import enum
+from collections import deque
 from dataclasses import dataclass
 
 import jax.numpy as jnp
@@ -92,6 +93,9 @@ class Settings:
     # mapping
     enable_local_mapping: bool = True
     local_ba_window: int = 8
+    # pipelining: frames in flight before the host consumes their stats
+    # (each blocking device->host sync costs ~50 ms over the TPU tunnel)
+    async_depth: int = 1
 
     def camera(self) -> Camera:
         return Camera.create(
@@ -152,10 +156,12 @@ class System:
         self.frames_since_kf = 0
         self.step: StepState | None = None
         self.last_Tcw_np = np.eye(4, dtype=np.float32)
-        self.velocity_np = np.eye(4, dtype=np.float32)
         self.kf_pose_host: dict[int, np.ndarray] = {}
         self.trajectory: list[_TrajEntry] = []
         self.mono_state = None  # used by the monocular path
+        self._pending: deque = deque()       # (stats_dev, ts, step_state)
+        self._pending_kf_out = None          # async keyframe-creation output
+        self._th_depth_dev = jnp.float32(self.th_depth_m)
 
     # ------------------------------------------------------------------
     # public API (reference System.h:84-128)
@@ -171,17 +177,16 @@ class System:
             self._stereo_initialize(frame, timestamp)
             return self.last_Tcw_np.copy()
 
-        T_pred = jnp.asarray(self.velocity_np @ self.last_Tcw_np)
         self.map, new_step, stats_dev = pipeline.vo_frame_step(
-            imgL, imgR, self.map, self.step, T_pred,
-            jnp.float32(self.th_depth_m),
+            imgL, imgR, self.map, self.step,
+            self._th_depth_dev,
             self.cam, self.spec, self.scales,
             m_local=self.settings.local_window,
             scale_factor=self.settings.scale_factor,
             n_levels=self.settings.n_levels,
             line_capacity=self.settings.line_features,
         )
-        return self._after_step(new_step, stats_dev, timestamp)
+        return self._enqueue_step(new_step, stats_dev, timestamp)
 
     def track_rgbd(self, img, depth, timestamp: float) -> np.ndarray:
         imgj = jnp.asarray(img, jnp.float32)
@@ -195,10 +200,9 @@ class System:
             self._stereo_initialize(frame, timestamp)
             return self.last_Tcw_np.copy()
 
-        T_pred = jnp.asarray(self.velocity_np @ self.last_Tcw_np)
         self.map, new_step, stats_dev = pipeline.vo_frame_step_rgbd(
-            imgj, depthj, self.map, self.step, T_pred,
-            jnp.float32(self.th_depth_m),
+            imgj, depthj, self.map, self.step,
+            self._th_depth_dev,
             self.cam, self.spec, self.scales,
             m_local=self.settings.local_window,
             scale_factor=self.settings.scale_factor,
@@ -206,7 +210,7 @@ class System:
             depth_factor=self.settings.depth_map_factor,
             line_capacity=self.settings.line_features,
         )
-        return self._after_step(new_step, stats_dev, timestamp)
+        return self._enqueue_step(new_step, stats_dev, timestamp)
 
     def track_mono(self, img, timestamp: float) -> np.ndarray:
         frame = build_frame_mono(
@@ -227,61 +231,82 @@ class System:
         self.localization_only = False
 
     def get_tracking_state(self) -> TrackingState:
+        self.drain()
         return self.state
 
     def map_changed(self) -> bool:
         return self.mapper.big_change_idx > 0
 
     def reset(self):
+        self._pending = deque()
         self._reset_runtime()
         self.mapper = LocalMapper(self)
         self.state = TrackingState.NO_IMAGES_YET
 
     def shutdown(self):
+        self.drain()
         self.mapper.flush()
 
     # ------------------------------------------------------------------
-    # per-frame control flow
+    # per-frame control flow (pipelined: stats consumed with a lag of
+    # `async_depth` frames so the hot loop never blocks on the tunnel)
     # ------------------------------------------------------------------
-    def _after_step(self, new_step: StepState, stats_dev, ts: float) -> np.ndarray:
-        stats = np.asarray(stats_dev)  # the one blocking fetch per frame
+    def _enqueue_step(self, new_step: StepState, stats_dev, ts: float) -> np.ndarray:
+        try:
+            stats_dev.copy_to_host_async()
+        except AttributeError:
+            pass
+        self.step = new_step
+        self.frame_id += 1
+        self._pending.append((stats_dev, ts, new_step))
+        while len(self._pending) > self.settings.async_depth:
+            self._process_one()
+        return self.last_Tcw_np.copy()
+
+    def drain(self):
+        """Consume all in-flight frame stats (called before any state or
+        trajectory query)."""
+        while self._pending:
+            self._process_one()
+
+    def _process_one(self):
+        stats_dev, ts, step_state = self._pending.popleft()
+        stats = np.asarray(stats_dev)
+        self._resolve_kf_out()
         n_mm = int(stats[pipeline.S_N_MM])
         n_in = int(stats[pipeline.S_N_IN])
         Tcw_np = stats[pipeline.S_POSE].reshape(4, 4).astype(np.float32)
 
         if n_mm < 20 or n_in < 10:
             # Fallback: reference keyframe match (TrackReferenceKeyFrame).
-            res = self._track_refkf(new_step.frame)
+            res = self._track_refkf(step_state.frame)
             n_in = int(res.n_inliers)
             if n_in >= 10:
                 Tcw_np = np.asarray(res.Tcw, dtype=np.float32)
-                new_step = StepState(
-                    frame=new_step.frame,
+                step_state = StepState(
+                    frame=step_state.frame,
                     lm_gid=res.lm_gid,
                     lm_xyz=self.map.pts.xyz[jnp.clip(res.lm_gid, 0)],
                     Tcw=res.Tcw,
+                    velocity=jnp.eye(4),
                 )
+                # Resync the live tracker state to the corrected one.
+                self.step = step_state
 
         if n_in < 10:
             self.state = TrackingState.LOST
             self._log_frame(ts, self.last_Tcw_np, lost=True)
-            self.frame_id += 1
-            # keep last step state so a future frame can re-acquire
-            return self.last_Tcw_np.copy()
+            return
 
         self.state = TrackingState.OK
-        self.step = new_step
 
         if not self.localization_only and self._need_new_keyframe(stats, n_in):
-            self._create_keyframe(ts)
+            self._create_keyframe(step_state, Tcw_np, ts)
         else:
             self.frames_since_kf += 1
 
-        self.velocity_np = Tcw_np @ np.linalg.inv(self.last_Tcw_np)
         self.last_Tcw_np = Tcw_np
         self._log_frame(ts, Tcw_np, lost=False)
-        self.frame_id += 1
-        return Tcw_np.copy()
 
     def _track_refkf(self, frame: FrameData):
         k = self.ref_kf
@@ -308,6 +333,7 @@ class System:
             lm_gid=jnp.full((n,), -1, jnp.int32),
             lm_xyz=jnp.zeros((n, 3)),
             Tcw=Tcw,
+            velocity=jnp.eye(4),
         )
         self.map, self.step, out = pipeline.add_keyframe_step(
             self.map, step, jnp.int32(self.frame_id), jnp.float32(ts),
@@ -346,24 +372,36 @@ class System:
         c2 = (n_in < ref_matches * th_ratio or need_close) and n_in > 15
         return (c1a or c1c) and c2 or (c1a and c2)
 
-    def _create_keyframe(self, ts: float):
-        self.map, self.step, out = pipeline.add_keyframe_step(
-            self.map, self.step, jnp.int32(self.frame_id), jnp.float32(ts),
-            jnp.float32(self.th_depth_m), self.cam, self.spec,
+    def _create_keyframe(self, step_state: StepState, Tcw_np: np.ndarray,
+                         ts: float):
+        self.map, new_state, out = pipeline.add_keyframe_step(
+            self.map, step_state, jnp.int32(self.frame_id), jnp.float32(ts),
+            self._th_depth_dev, self.cam, self.spec,
             scale_factor=self.settings.scale_factor,
             n_levels=self.settings.n_levels,
             max_new=200,
             is_stereo=self.sensor in (Sensor.STEREO, Sensor.RGBD),
         )
-        out = np.asarray(out)
-        kf = int(out[0])
+        try:
+            out.copy_to_host_async()
+        except AttributeError:
+            pass
+        kf = self.n_kfs  # keyframes are appended densely
         self.n_kfs += 1
-        self.n_pts = int(out[2])
         self.ref_kf = kf
-        self.ref_kf_matches = int(out[1])
         self.frames_since_kf = 0
-        self.kf_pose_host[kf] = np.asarray(self.step.Tcw, dtype=np.float32)
+        self.kf_pose_host[kf] = Tcw_np.copy()
+        if step_state is self.step:
+            self.step = new_state
+        self._pending_kf_out = out
         self.mapper.on_keyframe(kf)
+
+    def _resolve_kf_out(self):
+        if self._pending_kf_out is not None:
+            out = np.asarray(self._pending_kf_out)
+            self.ref_kf_matches = int(out[1])
+            self.n_pts = int(out[2])
+            self._pending_kf_out = None
 
     def _log_frame(self, ts: float, Tcw_np: np.ndarray, lost: bool):
         ref = self.ref_kf
@@ -375,6 +413,7 @@ class System:
     # trajectory export (reference System.cc:340-540)
     # ------------------------------------------------------------------
     def save_trajectory_tum(self, path: str):
+        self.drain()
         """TUM format: ts tx ty tz qx qy qz qw of Twc, reconstructed
         against final keyframe poses (reference System::SaveTrajectoryTUM,
         src/System.cc:340-395)."""
@@ -394,6 +433,7 @@ class System:
                 )
 
     def save_trajectory_kitti(self, path: str):
+        self.drain()
         """KITTI format: 12 entries of Twc per line (reference
         System::SaveTrajectoryKITTI, src/System.cc:440-490)."""
         kf_Tcw = np.asarray(self.map.kfs.Tcw)
@@ -407,6 +447,7 @@ class System:
 
     def poses(self) -> np.ndarray:
         """All per-frame camera-to-world poses [F,4,4] (online estimates)."""
+        self.drain()
         return np.stack(
             [np.linalg.inv(e.Tcw) for e in self.trajectory], axis=0
         )
