@@ -1,0 +1,235 @@
+"""Batched bundle adjustment: Schur-complement Levenberg-Marquardt in XLA.
+
+Replaces the g2o back-end of the reference (Thirdparty/g2o SparseOptimizer
++ BlockSolver_6_3 + LM, driven by Optimizer::LocalBundleAdjustment*,
+src/Optimizer.cc:219-408, 2383-2873) with a fixed-shape tensor solver:
+
+- The problem is an EDGE TABLE: each row is one observation
+  (camera slot, landmark slot, measurement, information, validity mask).
+  Mono edges are 2-dof reprojection residuals (chi2 gate 5.991); stereo
+  edges add the right-image u coordinate for a 3-dof residual (chi2 7.815)
+  exactly like g2o's EdgeStereoSE3ProjectXYZ (types_six_dof_expmap.h).
+- Analytic Jacobians for all edges are computed batched (one einsum per
+  term), Huber-weighted (delta = sqrt(chi2 gate), as the reference sets
+  rk->setDelta(thHuber), src/Optimizer.cc:2597-2604).
+- Hessian blocks are accumulated with segment-sums over the edge table:
+  Hpp (3x3 per landmark), Hcc (6x6 per free camera) and the cross blocks
+  W[c,l] (6x3, dense over free-cameras x landmarks — exact because a
+  camera observes a landmark at most once).
+- The camera system is reduced by the Schur complement on the landmark
+  blocks (closed-form 3x3 inverses) and solved densely — the window sizes
+  of local BA (<= a few dozen free cameras) make the reduced system tiny.
+- Landmark updates come from back-substitution.
+- Outlier handling mirrors the reference's two-phase schedule
+  (5 iters -> chi2 reclassification -> 5 iters -> final classification,
+  src/Optimizer.cc:2713-2764): between rounds, edges over the gate are
+  masked out of the next round's normal equations.
+
+Everything is float32 with HIGHEST-precision matmuls; poses update by
+left-multiplicative retraction exp(xi) * Tcw with tangent [rho, phi]
+(g2o SE3Quat ordering).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from splslam_tpu.geometry import se3
+from splslam_tpu.geometry.camera import Camera
+
+_HI = jax.lax.Precision.HIGHEST
+
+CHI2_MONO = 5.991    # 2-dof 95% (reference Optimizer.cc:2591)
+CHI2_STEREO = 7.815  # 3-dof 95% (reference Optimizer.cc:2592)
+
+
+class BAProblem(NamedTuple):
+    """Fixed-shape BA window.
+
+    Cameras are slots 0..C-1 (a packed subset of the keyframe table);
+    `cam_free[c]` marks cameras that receive updates — fixed cameras
+    (the covisibility 2-ring, reference Optimizer.cc:2442-2465) still
+    contribute residuals. Landmarks are slots 0..L-1. Edges reference
+    slots; invalid edges have ok=False and contribute nothing.
+    """
+
+    Tcw: jax.Array         # [C,4,4]
+    cam_free: jax.Array    # [C] bool
+    xyz: jax.Array         # [L,3]
+    lm_ok: jax.Array       # [L] bool
+    e_cam: jax.Array       # [E] i32
+    e_lm: jax.Array        # [E] i32
+    e_uv: jax.Array        # [E,2]
+    e_ur: jax.Array        # [E] right-image u; < 0 => mono edge
+    e_inv_sigma2: jax.Array  # [E]
+    e_ok: jax.Array        # [E] bool
+
+
+class BAResult(NamedTuple):
+    Tcw: jax.Array       # [C,4,4] updated poses
+    xyz: jax.Array       # [L,3] updated landmarks
+    e_inlier: jax.Array  # [E] bool — survived the final chi2 gate
+    chi2: jax.Array      # [E] final per-edge chi2
+    total_chi2: jax.Array
+
+
+def _edge_terms(Tcw_all, xyz_all, cam: Camera, p: BAProblem):
+    """Residuals r [E,3], J_c [E,3,6], J_p [E,3,3], chi2 [E], depth-ok [E].
+
+    Mono edges use rows 0..1 (row 2 zeroed via the stereo mask)."""
+    Tcw = Tcw_all[p.e_cam]             # [E,4,4]
+    X = xyz_all[p.e_lm]                # [E,3]
+    R = Tcw[:, :3, :3]
+    t = Tcw[:, :3, 3]
+    pc = jnp.einsum("eij,ej->ei", R, X, precision=_HI) + t
+    x, y, z = pc[:, 0], pc[:, 1], pc[:, 2]
+    z_ok = z > 1e-3
+    zs = jnp.where(z_ok, z, 1.0)
+    iz = 1.0 / zs
+    iz2 = iz * iz
+    u = cam.fx * x * iz + cam.cx
+    v = cam.fy * y * iz + cam.cy
+    ur = u - cam.bf * iz
+    stereo = p.e_ur >= 0
+    r = jnp.stack(
+        [
+            u - p.e_uv[:, 0],
+            v - p.e_uv[:, 1],
+            jnp.where(stereo, ur - p.e_ur, 0.0),
+        ],
+        axis=-1,
+    )
+    zeros = jnp.zeros_like(x)
+    srow = jnp.stack(
+        [cam.fx * iz, zeros, -(cam.fx * x - cam.bf) * iz2], axis=-1
+    ) * stereo[:, None].astype(jnp.float32)
+    duv_dpc = jnp.stack(
+        [
+            jnp.stack([cam.fx * iz, zeros, -cam.fx * x * iz2], axis=-1),
+            jnp.stack([zeros, cam.fy * iz, -cam.fy * y * iz2], axis=-1),
+            srow,
+        ],
+        axis=1,
+    )  # [E,3,3]
+    dpc_dxi = jnp.concatenate(
+        [jnp.broadcast_to(jnp.eye(3), pc.shape[:1] + (3, 3)), -se3.hat(pc)],
+        axis=-1,
+    )  # [E,3,6]
+    J_c = jnp.einsum("eij,ejk->eik", duv_dpc, dpc_dxi, precision=_HI)
+    J_p = jnp.einsum("eij,ejk->eik", duv_dpc, R, precision=_HI)  # dpc/dX = R
+    chi2 = jnp.sum(r * r, axis=-1) * p.e_inv_sigma2
+    return r, J_c, J_p, chi2, z_ok
+
+
+def _huber_weight(chi2: jax.Array, delta2: jax.Array) -> jax.Array:
+    return jnp.where(
+        chi2 <= delta2, 1.0, jnp.sqrt(delta2 / jnp.maximum(chi2, 1e-12))
+    )
+
+
+@partial(jax.jit, static_argnames=("rounds", "iters", "n_free"))
+def ba_solve(
+    cam: Camera,
+    p: BAProblem,
+    *,
+    rounds: int = 2,
+    iters: int = 5,
+    n_free: int | None = None,
+    damping: float = 1e-4,
+) -> BAResult:
+    """Solve the BA window. `n_free`: static count of leading camera slots
+    that are free (slots must be packed free-first); defaults to all."""
+    C = p.Tcw.shape[0]
+    L = p.xyz.shape[0]
+    Cf = C if n_free is None else n_free
+
+    chi2_gate = jnp.where(p.e_ur >= 0, CHI2_STEREO, CHI2_MONO)
+
+    def gn_step(state, active):
+        Tcw_all, xyz_all = state
+        r, J_c, J_p, chi2, z_ok = _edge_terms(Tcw_all, xyz_all, cam, p)
+        w = (
+            _huber_weight(chi2, chi2_gate)
+            * p.e_inv_sigma2
+            * (active & z_ok).astype(jnp.float32)
+        )
+        # Gradients (J^T W r)
+        g_c = jnp.einsum("eik,ei,e->ek", J_c, r, w, precision=_HI)  # [E,6]
+        g_p = jnp.einsum("eik,ei,e->ek", J_p, r, w, precision=_HI)  # [E,3]
+        # Block Hessians
+        Hcc_e = jnp.einsum("eik,eil,e->ekl", J_c, J_c, w, precision=_HI)
+        Hpp_e = jnp.einsum("eik,eil,e->ekl", J_p, J_p, w, precision=_HI)
+        Hcp_e = jnp.einsum("eik,eil,e->ekl", J_c, J_p, w, precision=_HI)  # [E,6,3]
+
+        # An edge feeds the camera system only if its camera slot is in the
+        # leading free block AND not frozen (gauge anchors, e.g. keyframe 0 —
+        # reference Optimizer.cc:2518 setFixed for mnId==0). Frozen cameras
+        # still constrain landmarks through Hpp/bp.
+        free_edge = (p.e_cam < Cf) & p.cam_free[jnp.clip(p.e_cam, 0)]
+        ec = jnp.where(free_edge, p.e_cam, Cf)  # overflow row dropped
+        Hcc = jnp.zeros((Cf, 6, 6)).at[ec].add(Hcc_e, mode="drop")
+        bc = jnp.zeros((Cf, 6)).at[ec].add(g_c, mode="drop")
+        Hpp = jnp.zeros((L, 3, 3)).at[p.e_lm].add(Hpp_e, mode="drop")
+        bp = jnp.zeros((L, 3)).at[p.e_lm].add(g_p, mode="drop")
+        # Dense cross blocks W[c,l] (one obs per (c,l) pair).
+        W = jnp.zeros((Cf, L, 6, 3)).at[ec, p.e_lm].add(Hcp_e, mode="drop")
+
+        lm_active = p.lm_ok & (jnp.diagonal(Hpp, axis1=1, axis2=2).sum(-1) > 0)
+        Hpp_d = Hpp + (damping + 1e-8) * jnp.eye(3) + jnp.where(
+            lm_active, 0.0, 1.0
+        )[:, None, None] * jnp.eye(3)
+        iHpp = jnp.linalg.inv(Hpp_d)  # [L,3,3]
+
+        # Schur: S = Hcc - W iHpp W^T ; rhs = bc - W iHpp bp
+        WiH = jnp.einsum("clik,lkm->clim", W, iHpp, precision=_HI)  # [Cf,L,6,3]
+        S_full = jnp.zeros((Cf, 6, Cf, 6))
+        S_full = S_full.at[jnp.arange(Cf), :, jnp.arange(Cf), :].add(Hcc)
+        S_full = S_full - jnp.einsum(
+            "clim,dljm->cidj", WiH, W, precision=_HI
+        )
+        rhs = bc - jnp.einsum("clim,lm->ci", WiH, bp, precision=_HI)
+
+        A = S_full.reshape(Cf * 6, Cf * 6)
+        A = A + damping * jnp.diag(jnp.maximum(jnp.diag(A), 1.0))
+        dx_c = -jnp.linalg.solve(A, rhs.reshape(-1)).reshape(Cf, 6)
+        ok = jnp.all(jnp.isfinite(dx_c))
+        dx_c = jnp.where(ok, dx_c, 0.0)
+
+        # Back-substitute landmarks: Hpp dx_p = -bp - W^T dx_c
+        Wt_dxc = jnp.einsum("clik,ci->lk", W, dx_c, precision=_HI)
+        dx_p = jnp.einsum(
+            "lkm,lm->lk", iHpp, -(bp + Wt_dxc), precision=_HI
+        )
+        dx_p = jnp.where((lm_active & jnp.all(jnp.isfinite(dx_p), -1))[:, None],
+                         dx_p, 0.0)
+
+        # Apply updates (free cameras only).
+        dx_c = dx_c * p.cam_free[:Cf, None].astype(jnp.float32)
+        Tcw_f = jax.vmap(se3.se3_retract)(Tcw_all[:Cf], dx_c)
+        Tcw_new = jnp.concatenate([Tcw_f, Tcw_all[Cf:]], axis=0)
+        xyz_new = xyz_all + dx_p
+        return (Tcw_new, xyz_new)
+
+    def round_body(carry, _):
+        (Tcw_all, xyz_all), active = carry
+
+        def step(st, _):
+            return gn_step(st, active), None
+
+        st, _ = jax.lax.scan(step, (Tcw_all, xyz_all), None, length=iters)
+        Tcw_all, xyz_all = st
+        _, _, _, chi2, z_ok = _edge_terms(Tcw_all, xyz_all, cam, p)
+        new_active = p.e_ok & (chi2 <= chi2_gate) & z_ok
+        return ((Tcw_all, xyz_all), new_active), None
+
+    init = ((p.Tcw, p.xyz), p.e_ok)
+    (st, active), _ = jax.lax.scan(round_body, init, None, length=rounds)
+    Tcw_all, xyz_all = st
+    _, _, _, chi2, z_ok = _edge_terms(Tcw_all, xyz_all, cam, p)
+    inlier = p.e_ok & (chi2 <= chi2_gate) & z_ok
+    total = jnp.sum(jnp.where(inlier, chi2, 0.0))
+    return BAResult(Tcw_all, xyz_all, inlier, chi2, total)

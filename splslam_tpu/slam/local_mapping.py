@@ -1,33 +1,35 @@
 """Local mapping: triangulation of new landmarks, culling, local BA.
 
 Host-side orchestration of the reference LocalMapping thread
-(src/LocalMapping.cc Run/RunBoth): runs synchronously after each keyframe
-insertion (the reference's 4-thread pipeline becomes sequential host
-stages dispatching device kernels; async overlap is a later optimization
-once parity is proven — SURVEY §7.1 "Host orchestration").
+(src/LocalMapping.cc Run :55-124 / RunBoth :127-267). The reference's
+4-thread pipeline with mutex handshakes becomes ONE fused device program
+per keyframe (slam/mapping_ops.mapping_step) dispatched asynchronously
+right after keyframe insertion; the host fetches its small stats vector
+lazily, so mapping overlaps the next frames' tracking on device.
 
 Stages per keyframe (reference RunBoth :127-267):
-  1. MapPointCulling     (:408) — 3-strike policy on found/visible ratio
+  1. MapPointCulling     (:408) — probation policy on found/visible ratio
   2. CreateNewMapPoints  (:484) — epipolar search + batched DLT vs
                                    covisible neighbors
   3. SearchInNeighbors fuse (:1249)
-  4. Local BA            (Optimizer.cc:2383) — Schur/GN window solve
+  4. Local BA            (Optimizer.cc:2383) — Schur LM window solve
   5. KeyFrameCulling     (:1577)
 """
 
 from __future__ import annotations
 
-import jax.numpy as jnp
 import numpy as np
-
-from splslam_tpu.slam import map as mapmod
+import jax.numpy as jnp
 
 
 class LocalMapper:
     def __init__(self, system):
         self.sys = system
-        self.recent_pts: list[tuple[int, int]] = []  # (lm_id, birth_kf)
         self.big_change_idx = 0  # reference Map::mnBigChangeIdx
+        self._pending_stats = None
+        self.last_stats = np.zeros((4,), np.float32)
+        self.ba_ms_total = 0.0
+        self.n_steps = 0
 
     def on_keyframe(self, kf_idx: int):
         sys = self.sys
@@ -35,13 +37,26 @@ class LocalMapper:
             return
         from splslam_tpu.slam import mapping_ops
 
-        # 1. cull unreliable recent landmarks
-        sys.map = mapping_ops.cull_points(sys.map, kf_idx)
-        # 2. triangulate new landmarks against best covisible neighbors
-        sys.map = mapping_ops.create_new_points(sys, kf_idx)
-        # 3+4. fuse duplicates + local bundle adjustment over the
-        # covisibility window
-        sys.map = mapping_ops.local_ba(sys, kf_idx)
+        sys.map, stats = mapping_ops.mapping_step(
+            sys.map, jnp.int32(kf_idx), sys.cam, sys.scales,
+            scale_factor=sys.settings.scale_factor,
+            n_levels=sys.settings.n_levels,
+        )
+        try:
+            stats.copy_to_host_async()
+        except AttributeError:
+            pass
+        self._pending_stats = stats
+        self.big_change_idx += 1
+        self.n_steps += 1
+        # The mapping step may have adjusted landmark positions the live
+        # tracker state caches; refresh the cached positions.
+        if sys.step is not None:
+            sys.step = sys.step._replace(
+                lm_xyz=sys.map.pts.xyz[jnp.clip(sys.step.lm_gid, 0)]
+            )
 
     def flush(self):
-        pass
+        if self._pending_stats is not None:
+            self.last_stats = np.asarray(self._pending_stats)
+            self._pending_stats = None

@@ -213,8 +213,11 @@ def insert_keyframe(
         frame_id=kfs.frame_id.at[k].set(frame_id),
         ts=kfs.ts.at[k].set(ts),
     )
+    # Stereo observations count double (reference MapPoint::AddObservation:
+    # nObs += 2 when mvuRight[idx] >= 0, src/MapPoint.cc).
+    obs_w = jnp.where(frame.u_right >= 0, 2, 1)
     obs_inc = jnp.zeros_like(st.pts.n_obs).at[jnp.clip(lm_idx, 0)].add(
-        (lm_idx >= 0).astype(jnp.int32)
+        jnp.where(lm_idx >= 0, obs_w, 0)
     )
     pts = st.pts._replace(n_obs=st.pts.n_obs + obs_inc)
     lobs_inc = jnp.zeros_like(st.lns.n_obs).at[jnp.clip(ll_idx, 0)].add(
@@ -282,7 +285,7 @@ def create_stereo_points(
         normal=pts.normal.at[sl].set(normal, mode="drop"),
         dmin=pts.dmin.at[sl].set(dmin, mode="drop"),
         dmax=pts.dmax.at[sl].set(dmax, mode="drop"),
-        n_obs=pts.n_obs.at[sl].set(1, mode="drop"),
+        n_obs=pts.n_obs.at[sl].set(2, mode="drop"),  # stereo obs weight 2
         n_visible=pts.n_visible.at[sl].set(1, mode="drop"),
         n_found=pts.n_found.at[sl].set(1, mode="drop"),
         first_kf=pts.first_kf.at[sl].set(kf_idx, mode="drop"),

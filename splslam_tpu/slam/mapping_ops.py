@@ -1,0 +1,552 @@
+"""Local-mapping device kernels: culling, triangulation, fuse, local BA.
+
+Re-expresses the reference LocalMapping thread's per-keyframe work
+(src/LocalMapping.cc Run :55-124 / RunBoth :127-267) as ONE fused XLA
+program per keyframe (`mapping_step`): the reference's point/line thread
+pairs and per-candidate loops become batched tensor passes, and the
+covisibility bookkeeping becomes top-k over shared-landmark counts.
+
+Stages (reference citations):
+  1. MapPointCulling (src/LocalMapping.cc:408): 3-strike policy —
+     found/visible ratio < 0.25, or too few observing keyframes shortly
+     after creation.
+  2. CreateNewMapPoints (src/LocalMapping.cc:484): epipolar-constrained
+     descriptor matching against the best covisible neighbors + batched
+     DLT triangulation with parallax/reprojection/scale checks.
+  3. SearchInNeighbors fuse (src/LocalMapping.cc:1249): project this
+     keyframe's landmarks into neighbors, merge duplicates by index remap
+     (the reference's MapPoint::Replace forwarding).
+  4. Local BA (src/Optimizer.cc:2383 LocalBundleAdjustmentmainOld):
+     Schur-complement LM over the covisibility window with fixed 2-ring
+     anchors; outlier observations erased afterwards.
+  5. KeyFrameCulling (src/LocalMapping.cc:1577): local keyframes >=90% of
+     whose landmarks are seen by >=3 other keyframes at same-or-finer
+     scale are marked bad.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from splslam_tpu.geometry.camera import Camera
+from splslam_tpu.ops import match as M
+from splslam_tpu.optim.ba import BAProblem, ba_solve
+from splslam_tpu.slam.map import MapState, predict_octave, scale_band
+
+# Static window geometry (capacities, not behavior): the reference's
+# covisibility window is data-dependent; we cap it to fixed shapes.
+N_WINDOW = 8      # free cameras in local BA (1-ring cap)
+N_FIXED = 8       # fixed anchor cameras (2-ring cap)
+N_NEIGH = 4       # neighbors for triangulation / fuse
+L_WINDOW = 8192   # landmark slots in the BA window
+MAX_TRI = 256     # new landmarks per (kf, neighbor) pair
+
+
+def _topk_covisible(st: MapState, kf: jax.Array, k: int, exclude_self=True):
+    """Top-k keyframes by shared-landmark count with keyframe `kf`
+    (reference KeyFrame::GetBestCovisibilityKeyFrames). Returns
+    (ids [k] i32 with -1 padding, counts [k])."""
+    P = st.pts.xyz.shape[0]
+    lm = st.kfs.lm_idx[kf]
+    member = jnp.zeros((P,), bool).at[jnp.clip(lm, 0)].set(lm >= 0)
+    kf_lm = st.kfs.lm_idx
+    hit = member[jnp.clip(kf_lm, 0)] & (kf_lm >= 0)
+    counts = jnp.sum(hit.astype(jnp.int32), axis=1) * st.kfs.valid.astype(jnp.int32)
+    if exclude_self:
+        counts = counts.at[kf].set(0)
+    k = min(k, counts.shape[0])
+    top_c, top_i = jax.lax.top_k(counts, k)
+    # The reference keeps neighbors with weight >= 15.
+    ids = jnp.where(top_c >= 15, top_i.astype(jnp.int32), -1)
+    return ids, top_c
+
+
+def cull_points(st: MapState, cur_kf: jax.Array, th_obs: int = 3) -> MapState:
+    """MapPointCulling (reference src/LocalMapping.cc:408-444).
+
+    Without the host-side recent-list, the policy is expressed on the
+    tables: a landmark born at keyframe b is culled if
+      - found/visible < 0.25, or
+      - cur_kf >= b+2 and n_obs <= cnThObs (3 stereo / 2 mono; stereo
+        observations count double, so a point seen by one stereo KF only
+        has n_obs = 2 and is culled unless re-observed).
+    Landmarks older than 3 keyframes leave the probation window."""
+    pts = st.pts
+    ratio = pts.n_found.astype(jnp.float32) / jnp.maximum(
+        pts.n_visible.astype(jnp.float32), 1.0
+    )
+    age = cur_kf - pts.first_kf
+    probation = age <= 3
+    bad_ratio = probation & (ratio < 0.25) & (pts.n_visible >= 4)
+    bad_obs = (age >= 2) & probation & (pts.n_obs <= th_obs)
+    cull = pts.valid & (bad_ratio | bad_obs)
+    new_valid = pts.valid & ~cull
+    # Drop dangling observation references (the reference's SetBadFlag
+    # erases the point from its observers' mvpMapPoints).
+    lm_idx = st.kfs.lm_idx
+    live = new_valid[jnp.clip(lm_idx, 0)] & (lm_idx >= 0)
+    return st._replace(
+        pts=pts._replace(valid=new_valid),
+        kfs=st.kfs._replace(lm_idx=jnp.where(live, lm_idx, -1)),
+    )
+
+
+def _epipolar_from_poses(Tcw1, Tcw2, cam: Camera):
+    """Fundamental matrix F12 mapping image-1 points to image-2 lines
+    (reference LocalMapping::ComputeF12, src/LocalMapping.cc:1414)."""
+    R1 = Tcw1[:3, :3]
+    t1 = Tcw1[:3, 3]
+    R2 = Tcw2[:3, :3]
+    t2 = Tcw2[:3, 3]
+    R12 = R1 @ R2.T
+    t12 = -R12 @ t2 + t1
+    tx = jnp.array(
+        [
+            [0.0, -t12[2], t12[1]],
+            [t12[2], 0.0, -t12[0]],
+            [-t12[1], t12[0], 0.0],
+        ]
+    )
+    K = jnp.array(
+        [[cam.fx, 0.0, cam.cx], [0.0, cam.fy, cam.cy], [0.0, 0.0, 1.0]]
+    )
+    Kinv = jnp.linalg.inv(K)
+    return Kinv.T @ tx @ R12 @ Kinv
+
+
+class _TriOut(NamedTuple):
+    xyz: jax.Array      # [N,3] triangulated world points (left-feature rows)
+    ok: jax.Array       # [N] bool
+    nb_col: jax.Array   # [N] matched neighbor feature index
+
+
+def _triangulate_pair(
+    st: MapState, cam: Camera, scales: jax.Array, kf: jax.Array,
+    nb: jax.Array, nb_valid: jax.Array,
+) -> _TriOut:
+    """Match unassociated features of `kf` against those of neighbor `nb`
+    along the epipolar constraint, then DLT-triangulate
+    (reference CreateNewMapPoints, src/LocalMapping.cc:484-729)."""
+    kfs = st.kfs
+    T1 = kfs.Tcw[kf]
+    T2 = kfs.Tcw[nb]
+    F12 = _epipolar_from_poses(T1, T2, cam)
+
+    xy1 = kfs.xy[kf]          # [N,2]
+    xy2 = kfs.xy[nb]
+    free1 = kfs.fvalid[kf] & (kfs.lm_idx[kf] < 0)
+    free2 = kfs.fvalid[nb] & (kfs.lm_idx[nb] < 0) & nb_valid
+
+    # Baseline check (reference :529-545): skip if baseline too short
+    # relative to scene depth — approximated by demanding a minimum
+    # translation between the two keyframes.
+    O1 = -T1[:3, :3].T @ T1[:3, 3]
+    O2 = -T2[:3, :3].T @ T2[:3, 3]
+    baseline = jnp.linalg.norm(O2 - O1)
+    base_ok = baseline > (cam.bf / cam.fx)  # > stereo baseline (reference :541)
+
+    # Epipolar distance of x2 to the line F12 @ x1 (reference
+    # CheckDistEpipolarLine, ORBmatcher.cc).
+    ones = jnp.ones_like(xy1[:, :1])
+    x1h = jnp.concatenate([xy1, ones], axis=-1)       # [N,3]
+    lines = x1h @ F12.T                               # [N,3] (a,b,c) in img2
+    num = (
+        lines[:, None, 0] * xy2[None, :, 0]
+        + lines[:, None, 1] * xy2[None, :, 1]
+        + lines[:, None, 2]
+    )
+    den = lines[:, 0:1] ** 2 + lines[:, 1:2] ** 2
+    dsq = num * num / jnp.maximum(den, 1e-12)         # [N1,N2]
+    sig2_2 = kfs.sigma2[nb]
+    epi_ok = dsq < 3.84 * sig2_2[None, :]
+
+    dist = M.hamming_matrix(kfs.desc[kf], kfs.desc[nb])
+    d = M.masked_distances(dist, free1, free2, epi_ok)
+    mt, md = M.nn_match(d, max_dist=M.TH_LOW, mutual=True)
+    matched = (mt >= 0) & base_ok
+    col = jnp.clip(mt, 0)
+    uv2 = xy2[col]
+
+    # --- DLT triangulation (reference :594-611) ---
+    K = jnp.array(
+        [[cam.fx, 0.0, cam.cx], [0.0, cam.fy, cam.cy], [0.0, 0.0, 1.0]]
+    )
+    P1 = K @ T1[:3, :4]
+    P2 = K @ T2[:3, :4]
+
+    def dlt(uv_a, uv_b):
+        A = jnp.stack(
+            [
+                uv_a[0] * P1[2] - P1[0],
+                uv_a[1] * P1[2] - P1[1],
+                uv_b[0] * P2[2] - P2[0],
+                uv_b[1] * P2[2] - P2[1],
+            ]
+        )
+        _, _, vt = jnp.linalg.svd(A)
+        X = vt[-1]
+        return X[:3] / jnp.where(jnp.abs(X[3]) < 1e-12, 1e-12, X[3])
+
+    Xw = jax.vmap(dlt)(xy1, uv2)  # [N,3]
+
+    # --- checks (reference :613-727) ---
+    pc1 = Xw @ T1[:3, :3].T + T1[:3, 3]
+    pc2 = Xw @ T2[:3, :3].T + T2[:3, 3]
+    z_ok = (pc1[:, 2] > 1e-3) & (pc2[:, 2] > 1e-3)
+
+    # Parallax between viewing rays (require > ~1.1 deg, cos < 0.9998).
+    r1 = Xw - O1
+    r2 = Xw - O2
+    cosp = jnp.sum(r1 * r2, axis=-1) / jnp.maximum(
+        jnp.linalg.norm(r1, axis=-1) * jnp.linalg.norm(r2, axis=-1), 1e-9
+    )
+    par_ok = cosp < 0.9998
+
+    def reproj_chi2(pc, uv, sig2):
+        zs = jnp.maximum(pc[:, 2], 1e-6)
+        u = cam.fx * pc[:, 0] / zs + cam.cx
+        v = cam.fy * pc[:, 1] / zs + cam.cy
+        return ((u - uv[:, 0]) ** 2 + (v - uv[:, 1]) ** 2) / sig2
+
+    chi1 = reproj_chi2(pc1, xy1, kfs.sigma2[kf])
+    chi2 = reproj_chi2(pc2, uv2, sig2_2[col])
+    rep_ok = (chi1 <= 5.991) & (chi2 <= 5.991)
+
+    # Scale-consistency (reference :706-720).
+    d1 = jnp.linalg.norm(r1, axis=-1)
+    d2 = jnp.linalg.norm(r2, axis=-1)
+    ratio_d = d1 / jnp.maximum(d2, 1e-9)
+    s1 = scales[kfs.octave[kf]]
+    s2 = scales[kfs.octave[nb]][col]
+    ratio_o = s1 / s2
+    scale_ok = (ratio_d < ratio_o * 1.5) & (ratio_d > ratio_o / 1.5)
+
+    ok = matched & z_ok & par_ok & rep_ok & scale_ok
+    return _TriOut(xyz=Xw, ok=ok, nb_col=jnp.where(ok, mt, -1))
+
+
+def _alloc_points(
+    st: MapState, cam: Camera, scales_sf_nl, kf: jax.Array, nb: jax.Array,
+    tri: _TriOut, max_new: int,
+) -> MapState:
+    """Append triangulated landmarks to the point table; register the
+    observation in both keyframe rows."""
+    scale_factor, n_levels = scales_sf_nl
+    kfs = st.kfs
+    create = tri.ok
+    # cap
+    order_key = jnp.where(create, jnp.arange(create.shape[0], dtype=jnp.int32), 1 << 30)
+    rank = jnp.zeros_like(order_key).at[jnp.argsort(order_key)].set(
+        jnp.arange(create.shape[0], dtype=jnp.int32)
+    )
+    create = create & (rank < max_new)
+    slot_off = jnp.cumsum(create.astype(jnp.int32)) - 1
+    slots = st.n_pts + slot_off
+    cap = st.pts.xyz.shape[0]
+    create = create & (slots < cap)
+    n_new = jnp.sum(create.astype(jnp.int32))
+    sl = jnp.where(create, slots, cap)
+
+    T1 = kfs.Tcw[kf]
+    O1 = -T1[:3, :3].T @ T1[:3, 3]
+    view = tri.xyz - O1
+    dist = jnp.linalg.norm(view, axis=-1)
+    normal = view / jnp.maximum(dist[:, None], 1e-9)
+    dmin, dmax = scale_band(dist, kfs.octave[kf], scale_factor, n_levels)
+    # Observation weight: stereo features count 2 per observation
+    # (reference MapPoint::AddObservation).
+    w1 = jnp.where(kfs.u_right[kf] >= 0, 2, 1)
+    w2 = jnp.where(kfs.u_right[nb][jnp.clip(tri.nb_col, 0)] >= 0, 2, 1)
+    obs_w = w1 + w2
+
+    pts = st.pts
+    pts = pts._replace(
+        xyz=pts.xyz.at[sl].set(tri.xyz, mode="drop"),
+        desc=pts.desc.at[sl].set(kfs.desc[kf], mode="drop"),
+        normal=pts.normal.at[sl].set(normal, mode="drop"),
+        dmin=pts.dmin.at[sl].set(dmin, mode="drop"),
+        dmax=pts.dmax.at[sl].set(dmax, mode="drop"),
+        n_obs=pts.n_obs.at[sl].set(obs_w, mode="drop"),
+        n_visible=pts.n_visible.at[sl].set(1, mode="drop"),
+        n_found=pts.n_found.at[sl].set(1, mode="drop"),
+        first_kf=pts.first_kf.at[sl].set(kf, mode="drop"),
+        valid=pts.valid.at[sl].set(True, mode="drop"),
+    )
+    # Register observations in both rows.
+    lm_kf = jnp.where(create, slots.astype(jnp.int32), kfs.lm_idx[kf])
+    nb_col = jnp.clip(tri.nb_col, 0)
+    nb_row = kfs.lm_idx[nb]
+    nb_row = nb_row.at[nb_col].max(
+        jnp.where(create, slots.astype(jnp.int32), -1), mode="drop"
+    )
+    kfs = kfs._replace(
+        lm_idx=kfs.lm_idx.at[kf].set(lm_kf).at[nb].set(nb_row)
+    )
+    return st._replace(pts=pts, kfs=kfs, n_pts=st.n_pts + n_new)
+
+
+def create_new_points(
+    st: MapState, cam: Camera, scales: jax.Array, kf: jax.Array,
+    neighbors: jax.Array, scale_factor: float, n_levels: int,
+) -> MapState:
+    """CreateNewMapPoints against the top covisible neighbors."""
+    for j in range(neighbors.shape[0]):
+        nb_id = neighbors[j]
+        nb = jnp.clip(nb_id, 0)
+        nb_valid = jnp.broadcast_to(nb_id >= 0, st.kfs.fvalid[0].shape)
+        tri = _triangulate_pair(st, cam, scales, kf, nb, nb_valid)
+        tri = tri._replace(ok=tri.ok & (nb_id >= 0) & (nb_id != kf))
+        st = _alloc_points(
+            st, cam, (scale_factor, n_levels), kf, nb, tri, MAX_TRI
+        )
+    return st
+
+
+def fuse_neighbors(
+    st: MapState, cam: Camera, scales: jax.Array, kf: jax.Array,
+    neighbors: jax.Array, scale_factor: float, n_levels: int,
+) -> MapState:
+    """SearchInNeighbors (reference src/LocalMapping.cc:1249-1329 +
+    ORBmatcher::Fuse): project `kf`'s landmarks into each neighbor; a hit
+    on a feature that already has a landmark merges the two (keep the one
+    with more observations — MapPoint::Replace), a hit on a free feature
+    adds the observation."""
+    P = st.pts.xyz.shape[0]
+    remap = jnp.arange(P, dtype=jnp.int32)
+
+    for j in range(neighbors.shape[0]):
+        kfs = st.kfs
+        pts = st.pts
+        nb_id = neighbors[j]
+        nb = jnp.clip(nb_id, 0)
+        nb_ok = (nb_id >= 0) & (nb_id != kf)
+
+        lm = kfs.lm_idx[kf]                       # [N] landmarks of kf
+        lm_ok = (lm >= 0) & pts.valid[jnp.clip(lm, 0)] & nb_ok
+        li = jnp.clip(lm, 0)
+        xyz = pts.xyz[li]
+        T2 = kfs.Tcw[nb]
+        pc = xyz @ T2[:3, :3].T + T2[:3, 3]
+        zs = jnp.maximum(pc[:, 2], 1e-6)
+        u = cam.fx * pc[:, 0] / zs + cam.cx
+        v = cam.fy * pc[:, 1] / zs + cam.cy
+        uv = jnp.stack([u, v], axis=-1)
+        inimg = (
+            (u >= 0) & (u < cam.width) & (v >= 0) & (v < cam.height)
+            & (pc[:, 2] > 1e-3)
+        )
+        O2 = -T2[:3, :3].T @ T2[:3, 3]
+        dist3 = jnp.linalg.norm(xyz - O2, axis=-1)
+        band_ok = (dist3 > 0.8 * pts.dmin[li]) & (dist3 < 1.2 * pts.dmax[li])
+        viewcos = jnp.sum((xyz - O2) * pts.normal[li], axis=-1) / jnp.maximum(
+            dist3, 1e-9
+        )
+        rows_ok = lm_ok & inimg & band_ok & (viewcos > 0.5)
+
+        pred = predict_octave(dist3, pts.dmax[li], scale_factor, n_levels)
+        radius = 3.0 * scales[pred]
+        wmask = M.window_mask(uv, kfs.xy[nb], radius)
+        omask = M.octave_mask(pred, kfs.octave[nb], -1, 1)
+        dmat = M.hamming_matrix(pts.desc[li], kfs.desc[nb])
+        dmat = M.masked_distances(dmat, rows_ok, kfs.fvalid[nb], wmask & omask)
+        mt, md = M.nn_match(dmat, max_dist=M.TH_LOW)
+        hit = mt >= 0
+        col = jnp.clip(mt, 0)
+        tgt_lm = kfs.lm_idx[nb][col]              # existing landmark or -1
+
+        # Case A: merge lm -> tgt (or tgt -> lm) where target exists.
+        both = hit & (tgt_lm >= 0) & (tgt_lm != lm)
+        keep_tgt = pts.n_obs[jnp.clip(tgt_lm, 0)] >= pts.n_obs[li]
+        winner = jnp.where(keep_tgt, tgt_lm, lm)
+        loser = jnp.where(keep_tgt, lm, tgt_lm)
+        remap = remap.at[jnp.where(both, loser, P)].set(
+            jnp.where(both, winner, 0), mode="drop"
+        )
+        # Case B: free feature gains the observation.
+        free_hit = hit & (tgt_lm < 0)
+        nb_row = kfs.lm_idx[nb].at[jnp.where(free_hit, mt, -1)].set(
+            jnp.where(free_hit, lm, -1), mode="drop"
+        )
+        w_new = jnp.where(kfs.u_right[nb][col] >= 0, 2, 1)
+        obs_inc = jnp.zeros_like(pts.n_obs).at[jnp.where(free_hit, lm, P)].add(
+            w_new, mode="drop"
+        )
+        st = st._replace(
+            kfs=kfs._replace(lm_idx=kfs.lm_idx.at[nb].set(nb_row)),
+            pts=pts._replace(n_obs=pts.n_obs + obs_inc),
+        )
+
+    # Resolve remap chains (losers pointing at losers) by two hops, then
+    # apply to every observation table and invalidate losers.
+    remap = remap[remap]
+    remap = remap[remap]
+    pts = st.pts
+    merged = remap != jnp.arange(P, dtype=jnp.int32)
+    kfs = st.kfs
+    lm_idx = kfs.lm_idx
+    new_lm = jnp.where(lm_idx >= 0, remap[jnp.clip(lm_idx, 0)], -1)
+    winners_gain = jnp.zeros_like(pts.n_obs).at[
+        jnp.where(merged, remap, P)
+    ].add(pts.n_obs * merged.astype(jnp.int32), mode="drop")
+    pts = pts._replace(
+        valid=pts.valid & ~merged,
+        n_obs=pts.n_obs + winners_gain,
+    )
+    return st._replace(kfs=kfs._replace(lm_idx=new_lm), pts=pts)
+
+
+def build_ba_window(st: MapState, kf: jax.Array):
+    """Select free/fixed cameras and the landmark slot set for local BA.
+
+    Free: `kf` + its best covisible (1-ring, reference Optimizer.cc:
+    2386-2405); fixed: next-best covisible (2-ring approximation,
+    :2442-2465). Landmarks: union of free cameras' observations, capped
+    at L_WINDOW slots."""
+    ids, counts = _topk_covisible(st, kf, N_WINDOW + N_FIXED - 1)
+    free = jnp.concatenate([kf[None].astype(jnp.int32), ids[: N_WINDOW - 1]])
+    fixed = ids[N_WINDOW - 1:]
+    cams = jnp.concatenate([free, fixed])          # [C] global kf ids, -1 pad
+
+    # Landmark union over FREE cameras only (fixed cams only anchor).
+    rows = st.kfs.lm_idx[jnp.clip(free, 0)]        # [NW, N]
+    rows = jnp.where((free >= 0)[:, None], rows, -1)
+    flat = rows.reshape(-1)
+    ok = (flat >= 0) & st.pts.valid[jnp.clip(flat, 0)]
+    flat = jnp.where(ok, flat, -1)
+    s = jnp.sort(flat)
+    F = s.shape[0]
+    first = jnp.concatenate([s[:1] >= 0, (s[1:] != s[:-1]) & (s[1:] >= 0)])
+    key = jnp.where(first, jnp.arange(F, dtype=jnp.int32), F)
+    sel = -jax.lax.top_k(-key, min(L_WINDOW, F))[0]
+    lm_ids = jnp.where(sel < F, s[jnp.clip(sel, 0, F - 1)], -1)  # [L]
+    return cams, lm_ids
+
+
+def make_ba_problem(st: MapState, cams: jax.Array, lm_ids: jax.Array):
+    """Assemble the fixed-shape edge table for `ba_solve` from keyframe
+    feature rows (each (camera slot, feature) pair with a landmark in the
+    window is one edge)."""
+    P = st.pts.xyz.shape[0]
+    L = lm_ids.shape[0]
+    C = cams.shape[0]
+    N = st.kfs.lm_idx.shape[1]
+
+    lookup = jnp.full((P + 1,), -1, jnp.int32)
+    lookup = lookup.at[jnp.where(lm_ids >= 0, lm_ids, P)].set(
+        jnp.arange(L, dtype=jnp.int32), mode="drop"
+    )
+
+    gk = jnp.clip(cams, 0)
+    cam_ok = cams >= 0
+    lm_rows = st.kfs.lm_idx[gk]                   # [C,N]
+    slot = lookup[jnp.clip(lm_rows, 0, P)]        # [C,N] -> window slot/-1
+    e_ok = (
+        cam_ok[:, None]
+        & (lm_rows >= 0)
+        & (slot >= 0)
+        & st.kfs.fvalid[gk]
+        & st.pts.valid[jnp.clip(lm_rows, 0)]
+    )
+    e_cam = jnp.broadcast_to(
+        jnp.arange(C, dtype=jnp.int32)[:, None], (C, N)
+    ).reshape(-1)
+    e_lm = jnp.where(e_ok, slot, 0).reshape(-1)
+    prob = BAProblem(
+        Tcw=st.kfs.Tcw[gk],
+        # Free slots are the leading N_WINDOW (n_free passed statically);
+        # global keyframe 0 stays frozen as the gauge anchor.
+        cam_free=cam_ok & (cams != 0),
+        xyz=st.pts.xyz[jnp.clip(lm_ids, 0)],
+        lm_ok=lm_ids >= 0,
+        e_cam=e_cam,
+        e_lm=e_lm,
+        e_uv=st.kfs.xy[gk].reshape(-1, 2),
+        e_ur=jnp.where(e_ok, st.kfs.u_right[gk], -1.0).reshape(-1),
+        e_inv_sigma2=(1.0 / st.kfs.sigma2[gk]).reshape(-1),
+        e_ok=e_ok.reshape(-1),
+    )
+    return prob
+
+
+def apply_ba_result(
+    st: MapState, cams: jax.Array, lm_ids: jax.Array, prob: BAProblem, res,
+) -> MapState:
+    """Write optimized poses/landmarks back into the map tables and erase
+    outlier observations (reference Optimizer.cc:2766-2830 vToErase)."""
+    C = cams.shape[0]
+    N = st.kfs.lm_idx.shape[1]
+    P = st.pts.xyz.shape[0]
+    kfs = st.kfs
+    # Poses: only the free slots (first N_WINDOW), skipping kf 0 (gauge
+    # anchor: the reference fixes pKF->mnId==0, Optimizer.cc:2518).
+    for c in range(N_WINDOW):
+        gid = cams[c]
+        write = (gid > 0)
+        tgt = jnp.where(write, gid, 0)
+        newT = jnp.where(write, res.Tcw[c], kfs.Tcw[tgt])
+        kfs = kfs._replace(Tcw=kfs.Tcw.at[tgt].set(newT))
+    # Landmarks.
+    li = jnp.where(lm_ids >= 0, lm_ids, P)
+    pts = st.pts._replace(
+        xyz=st.pts.xyz.at[li].set(res.xyz, mode="drop")
+    )
+    # Outlier observation erasure: edge (c, n) failed the final gate.
+    bad = (prob.e_ok & ~res.e_inlier).reshape(C, N)
+    lm_rows = kfs.lm_idx[jnp.clip(cams, 0)]
+    new_rows = jnp.where(bad, -1, lm_rows)
+    kfs = kfs._replace(
+        lm_idx=kfs.lm_idx.at[jnp.clip(cams, 0)].set(new_rows)
+    )
+    w_obs = jnp.where(prob.e_ur >= 0, 2, 1).reshape(C, N)
+    obs_dec = jnp.zeros_like(pts.n_obs).at[
+        jnp.where(bad, jnp.clip(lm_rows, 0), P).reshape(-1)
+    ].add(jnp.where(bad, -w_obs, 0).reshape(-1), mode="drop")
+    pts = pts._replace(n_obs=pts.n_obs + obs_dec)
+    return st._replace(kfs=kfs, pts=pts)
+
+
+@partial(
+    jax.jit,
+    static_argnames=("scale_factor", "n_levels", "ba_rounds", "ba_iters"),
+    donate_argnames=("st",),
+)
+def mapping_step(
+    st: MapState,
+    kf: jax.Array,
+    cam: Camera,
+    scales: jax.Array,
+    scale_factor: float = 1.2,
+    n_levels: int = 8,
+    ba_rounds: int = 2,
+    ba_iters: int = 5,
+) -> tuple[MapState, jax.Array]:
+    """The fused per-keyframe mapping program: cull -> triangulate ->
+    fuse -> local BA. Returns (new_map, stats[4] = n_pts, n_edges,
+    n_inlier_edges, total_chi2)."""
+    st = cull_points(st, kf)
+    neighbors, _ = _topk_covisible(st, kf, N_NEIGH)
+    st = create_new_points(
+        st, cam, scales, kf, neighbors, scale_factor, n_levels
+    )
+    st = fuse_neighbors(
+        st, cam, scales, kf, neighbors, scale_factor, n_levels
+    )
+    cams, lm_ids = build_ba_window(st, kf)
+    prob = make_ba_problem(st, cams, lm_ids)
+    res = ba_solve(
+        cam, prob, rounds=ba_rounds, iters=ba_iters, n_free=N_WINDOW
+    )
+    st = apply_ba_result(st, cams, lm_ids, prob, res)
+    stats = jnp.stack(
+        [
+            st.n_pts.astype(jnp.float32),
+            jnp.sum(prob.e_ok.astype(jnp.int32)).astype(jnp.float32),
+            jnp.sum(res.e_inlier.astype(jnp.int32)).astype(jnp.float32),
+            res.total_chi2,
+        ]
+    )
+    return st, stats

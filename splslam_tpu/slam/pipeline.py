@@ -38,7 +38,8 @@ S_N_IN = 17
 S_CLOSE_TRACKED = 18
 S_CLOSE_UNTRACKED = 19
 S_N_DEPTH = 20
-STATS_LEN = 21
+S_REF_MATCHES = 21
+STATS_LEN = 22
 
 
 class StepState(NamedTuple):
@@ -100,6 +101,7 @@ def vo_frame_step(
     map_state: MapState,
     prev: StepState,
     th_depth_m: jax.Array,
+    ref_kf: jax.Array,
     cam: Camera,
     spec: PyramidSpec,
     scales: jax.Array,
@@ -114,11 +116,11 @@ def vo_frame_step(
         img_left.astype(jnp.float32), img_right.astype(jnp.float32), cam, spec,
         line_capacity=line_capacity,
     )
-    return _track_body(frame, map_state, prev, th_depth_m, cam,
+    return _track_body(frame, map_state, prev, th_depth_m, ref_kf, cam,
                        scales, m_local, scale_factor, n_levels)
 
 
-def _track_body(frame, map_state, prev, th_depth_m, cam, scales,
+def _track_body(frame, map_state, prev, th_depth_m, ref_kf, cam, scales,
                 m_local, scale_factor, n_levels):
     T_pred = prev.velocity @ prev.Tcw
     win = assemble_local_window(map_state, prev.lm_gid, m_local)
@@ -147,6 +149,19 @@ def _track_body(frame, map_state, prev, th_depth_m, cam, scales,
     n_close_untracked = jnp.sum((close & ~res.inlier).astype(jnp.int32))
     n_depth = jnp.sum((frame.depth > 0).astype(jnp.int32))
 
+    # Reference-KF tracked map points with >= minObs observations
+    # (reference KeyFrame::TrackedMapPoints used by NeedNewKeyFrame,
+    # src/Tracking.cc:2206: nMinObs = 3 unless the map has <= 2 KFs).
+    min_obs = jnp.where(map_state.n_kfs <= 2, 2, 3)
+    ref_row = map_state.kfs.lm_idx[ref_kf]
+    ref_safe = jnp.clip(ref_row, 0)
+    ref_tracked = (
+        (ref_row >= 0)
+        & map_state.pts.valid[ref_safe]
+        & (map_state.pts.n_obs[ref_safe] >= min_obs)
+    )
+    n_ref_matches = jnp.sum(ref_tracked.astype(jnp.int32))
+
     stats = jnp.zeros((STATS_LEN,), jnp.float32)
     stats = stats.at[S_POSE].set(res.Tcw.reshape(-1))
     stats = stats.at[S_N_MM].set(res.n_mm_matches.astype(jnp.float32))
@@ -154,6 +169,7 @@ def _track_body(frame, map_state, prev, th_depth_m, cam, scales,
     stats = stats.at[S_CLOSE_TRACKED].set(n_close_tracked.astype(jnp.float32))
     stats = stats.at[S_CLOSE_UNTRACKED].set(n_close_untracked.astype(jnp.float32))
     stats = stats.at[S_N_DEPTH].set(n_depth.astype(jnp.float32))
+    stats = stats.at[S_REF_MATCHES].set(n_ref_matches.astype(jnp.float32))
 
     # Velocity model on device (reference Tracking.cc:652 mVelocity).
     velocity = res.Tcw @ jnp.linalg.inv(prev.Tcw)
@@ -225,6 +241,7 @@ def vo_frame_step_rgbd(
     map_state: MapState,
     prev: StepState,
     th_depth_m: jax.Array,
+    ref_kf: jax.Array,
     cam: Camera,
     spec: PyramidSpec,
     scales: jax.Array,
@@ -242,5 +259,5 @@ def vo_frame_step_rgbd(
         image.astype(jnp.float32), depth_map.astype(jnp.float32), cam, spec,
         depth_factor=depth_factor, line_capacity=line_capacity,
     )
-    return _track_body(frame, map_state, prev, th_depth_m, cam,
+    return _track_body(frame, map_state, prev, th_depth_m, ref_kf, cam,
                        scales, m_local, scale_factor, n_levels)

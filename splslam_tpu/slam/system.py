@@ -93,6 +93,10 @@ class Settings:
     # mapping
     enable_local_mapping: bool = True
     local_ba_window: int = 8
+    # minimum frame gap before a keyframe may be inserted (reference
+    # mMinFrames = 0, src/Tracking.cc:62; a small positive gap amortizes
+    # the mapping dispatch on the tunnel-attached chip)
+    min_kf_gap: int = 1
     # pipelining: frames in flight before the host consumes their stats
     # (each blocking device->host sync costs ~50 ms over the TPU tunnel)
     async_depth: int = 1
@@ -137,6 +141,7 @@ class System:
             float(settings.bf) / settings.fx * settings.th_depth
             if settings.bf > 0 else 1e9
         )
+        self.min_kf_gap = settings.min_kf_gap
         self._reset_runtime()
         self.mapper = LocalMapper(self)
 
@@ -179,7 +184,7 @@ class System:
 
         self.map, new_step, stats_dev = pipeline.vo_frame_step(
             imgL, imgR, self.map, self.step,
-            self._th_depth_dev,
+            self._th_depth_dev, jnp.int32(self.ref_kf),
             self.cam, self.spec, self.scales,
             m_local=self.settings.local_window,
             scale_factor=self.settings.scale_factor,
@@ -202,7 +207,7 @@ class System:
 
         self.map, new_step, stats_dev = pipeline.vo_frame_step_rgbd(
             imgj, depthj, self.map, self.step,
-            self._th_depth_dev,
+            self._th_depth_dev, jnp.int32(self.ref_kf),
             self.cam, self.spec, self.scales,
             m_local=self.settings.local_window,
             scale_factor=self.settings.scale_factor,
@@ -357,20 +362,34 @@ class System:
         self.mapper.on_keyframe(kf)
 
     def _need_new_keyframe(self, stats: np.ndarray, n_in: int) -> bool:
-        """Reference Tracking::NeedNewKeyFrame (src/Tracking.cc:2181)."""
+        """Reference Tracking::NeedNewKeyFrame (src/Tracking.cc:2181-2336):
+        (c1a || c1b || c1c) && c2, with nRefMatches =
+        refKF->TrackedMapPoints(minObs) computed on device."""
         if self.n_kfs >= self.settings.max_keyframes - 1:
             return False
         max_frames = int(self.settings.fps)
         n_tracked_close = int(stats[pipeline.S_CLOSE_TRACKED])
         n_untracked_close = int(stats[pipeline.S_CLOSE_UNTRACKED])
-        need_close = (n_tracked_close < 100) and (n_untracked_close > 70)
+        is_stereo = self.sensor in (Sensor.STEREO, Sensor.RGBD)
+        need_close = is_stereo and (
+            (n_tracked_close < 100) and (n_untracked_close > 70)
+        )
 
-        ref_matches = max(self.ref_kf_matches, 1)
-        th_ratio = 0.75 if self.n_kfs > 2 else 0.4
+        ref_matches = max(int(stats[pipeline.S_REF_MATCHES]), 1)
+        if self.n_kfs <= 2:
+            th_ratio = 0.4
+        else:
+            th_ratio = 0.75 if is_stereo else 0.9
+        # c1a: too long since the last KF; c1b: min-frame gap passed and
+        # mapping can accept (ours always can — it runs fused per KF);
+        # c1c: tracking is weak vs the reference KF.
         c1a = self.frames_since_kf >= max_frames
-        c1c = (n_in < ref_matches * 0.25) or need_close
-        c2 = (n_in < ref_matches * th_ratio or need_close) and n_in > 15
-        return (c1a or c1c) and c2 or (c1a and c2)
+        c1b = self.frames_since_kf >= self.min_kf_gap
+        c1c = is_stereo and (
+            (n_in < ref_matches * 0.25) or need_close
+        )
+        c2 = ((n_in < ref_matches * th_ratio) or need_close) and n_in > 15
+        return (c1a or c1b or c1c) and c2
 
     def _create_keyframe(self, step_state: StepState, Tcw_np: np.ndarray,
                          ts: float):

@@ -57,3 +57,15 @@ class TestStereoVO:
         assert sysm.get_tracking_state() == TrackingState.NO_IMAGES_YET
         assert sysm.n_kfs == 0
         assert len(sysm.trajectory) == 0
+
+    def test_with_local_mapping(self):
+        """Full pipeline incl. the fused mapping step (cull -> triangulate
+        -> fuse -> local BA) after each keyframe. Forward motion decays
+        the reference-KF match ratio so the keyframe policy triggers."""
+        sysm, gt = run_vo("forward", n_frames=40, mapping=True)
+        assert sysm.get_tracking_state() == TrackingState.OK
+        assert sysm.n_kfs >= 2
+        assert sysm.mapper.n_steps >= 1
+        est = sysm.poses()
+        err = ate_rmse(est, gt)
+        assert err < 0.05, err
