@@ -104,10 +104,13 @@ def make_stereo_sequence(
     return K, fx * baseline, frames, np.stack(poses)
 
 
-def ate_rmse(est_Twc: np.ndarray, gt_Twc: np.ndarray, align: bool = True) -> float:
+def ate_rmse(est_Twc: np.ndarray, gt_Twc: np.ndarray, align: bool = True,
+             align_scale: bool = False) -> float:
     """Absolute trajectory error (RMSE of translation) after optional
-    Horn/umeyama SE3 alignment — the reference's evaluation metric
-    (report p.1: ATE-RMSE after Horn alignment)."""
+    Horn/umeyama alignment — the reference's evaluation metric
+    (report p.1: ATE-RMSE after Horn alignment). `align_scale` uses the
+    similarity (Sim3) variant, required for monocular trajectories whose
+    global scale is unobservable."""
     p_est = est_Twc[:, :3, 3]
     p_gt = gt_Twc[: len(p_est), :3, 3]
     if align and len(p_est) >= 3:
@@ -115,11 +118,16 @@ def ate_rmse(est_Twc: np.ndarray, gt_Twc: np.ndarray, align: bool = True) -> flo
         mu_g = p_gt.mean(0)
         E = p_est - mu_e
         G = p_gt - mu_g
-        U, _, Vt = np.linalg.svd(E.T @ G)
+        U, sv, Vt = np.linalg.svd(E.T @ G)
         S = np.eye(3)
         if np.linalg.det(U @ Vt) < 0:
             S[2, 2] = -1
         R = Vt.T @ S @ U.T
-        p_est = (R @ E.T).T + mu_g
+        if align_scale:
+            var_e = np.sum(E * E)
+            c = float(np.trace(np.diag(sv) @ S) / max(var_e, 1e-12))
+        else:
+            c = 1.0
+        p_est = c * (R @ E.T).T + mu_g
         p_gt = G + mu_g
     return float(np.sqrt(np.mean(np.sum((p_est - p_gt) ** 2, axis=1))))

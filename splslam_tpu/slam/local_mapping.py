@@ -37,10 +37,14 @@ class LocalMapper:
             return
         from splslam_tpu.slam import mapping_ops
 
+        from splslam_tpu.slam.system import Sensor
+
         sys.map, stats = mapping_ops.mapping_step(
             sys.map, jnp.int32(kf_idx), sys.cam, sys.scales,
             scale_factor=sys.settings.scale_factor,
             n_levels=sys.settings.n_levels,
+            # cnThObs: 2 mono / 3 stereo-RGBD (reference LocalMapping.cc:419)
+            th_obs=2 if sys.sensor == Sensor.MONOCULAR else 3,
         )
         try:
             stats.copy_to_host_async()

@@ -41,6 +41,10 @@ class MapPoints(NamedTuple):
     n_obs: jax.Array      # [P] i32 keyframe observation count
     first_kf: jax.Array   # [P] i32
     valid: jax.Array      # [P] bool
+    recent: jax.Array     # [P] bool — in the culling probation window
+    #                       (reference mlpRecentAddedMapPoints: only
+    #                       triangulation-born points are probationed,
+    #                       src/LocalMapping.cc:408-444)
 
     @staticmethod
     def empty(p: int) -> "MapPoints":
@@ -55,6 +59,7 @@ class MapPoints(NamedTuple):
             n_obs=jnp.zeros((p,), jnp.int32),
             first_kf=jnp.zeros((p,), jnp.int32),
             valid=jnp.zeros((p,), bool),
+            recent=jnp.zeros((p,), bool),
         )
 
 

@@ -80,11 +80,13 @@ def cull_points(st: MapState, cur_kf: jax.Array, th_obs: int = 3) -> MapState:
         pts.n_visible.astype(jnp.float32), 1.0
     )
     age = cur_kf - pts.first_kf
-    probation = age <= 3
+    probation = pts.recent & (age <= 3)
     bad_ratio = probation & (ratio < 0.25) & (pts.n_visible >= 4)
     bad_obs = (age >= 2) & probation & (pts.n_obs <= th_obs)
     cull = pts.valid & (bad_ratio | bad_obs)
     new_valid = pts.valid & ~cull
+    # Points surviving the window graduate out of probation.
+    pts = pts._replace(recent=pts.recent & (age <= 3))
     # Drop dangling observation references (the reference's SetBadFlag
     # erases the point from its observers' mvpMapPoints).
     lm_idx = st.kfs.lm_idx
@@ -275,6 +277,7 @@ def _alloc_points(
         n_found=pts.n_found.at[sl].set(1, mode="drop"),
         first_kf=pts.first_kf.at[sl].set(kf, mode="drop"),
         valid=pts.valid.at[sl].set(True, mode="drop"),
+        recent=pts.recent.at[sl].set(True, mode="drop"),
     )
     # Register observations in both rows.
     lm_kf = jnp.where(create, slots.astype(jnp.int32), kfs.lm_idx[kf])
@@ -511,7 +514,8 @@ def apply_ba_result(
 
 @partial(
     jax.jit,
-    static_argnames=("scale_factor", "n_levels", "ba_rounds", "ba_iters"),
+    static_argnames=("scale_factor", "n_levels", "ba_rounds", "ba_iters",
+                     "th_obs"),
     donate_argnames=("st",),
 )
 def mapping_step(
@@ -523,11 +527,12 @@ def mapping_step(
     n_levels: int = 8,
     ba_rounds: int = 2,
     ba_iters: int = 5,
+    th_obs: int = 3,
 ) -> tuple[MapState, jax.Array]:
     """The fused per-keyframe mapping program: cull -> triangulate ->
     fuse -> local BA. Returns (new_map, stats[4] = n_pts, n_edges,
     n_inlier_edges, total_chi2)."""
-    st = cull_points(st, kf)
+    st = cull_points(st, kf, th_obs=th_obs)
     neighbors, _ = _topk_covisible(st, kf, N_NEIGH)
     st = create_new_points(
         st, cam, scales, kf, neighbors, scale_factor, n_levels

@@ -1,17 +1,287 @@
-"""Monocular tracking path (point+line TrackBoth pipeline).
+"""Monocular tracking path: two-view bootstrap + per-frame tracking.
 
 Implements the reference's monocular branch (src/Tracking.cc:360-417
-GrabImageMonocular -> Track / TrackBoth): two-view initialization with the
-unified point+line-midpoint RANSAC, then per-frame tracking. Built in the
-mono/line milestone of this round; see splslam_tpu.slam.initializer.
+GrabImageMonocular -> Track/TrackBoth):
+
+- `MonocularInitialization(Both)` (src/Tracking.cc:1010-1157, :1159-1377):
+  hold a reference frame, match level-0 ORB features (100 px window,
+  0.9 ratio, rotation histogram — reference ORBmatcher::
+  SearchForInitialization), run the unified two-view RANSAC
+  (slam/initializer.py), and on success build the initial map
+  (`CreateInitialMapMonocular(Both)` :1379: two keyframes, landmarks from
+  the triangulated inliers, init BA, median-depth normalization).
+- After init, per-frame tracking reuses the same fused device step as
+  stereo (motion-model + local-map + pose GN), with no depth channel.
 """
 
 from __future__ import annotations
 
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
 import numpy as np
 
+from splslam_tpu.geometry.camera import Camera
+from splslam_tpu.ops import match as M
+from splslam_tpu.optim.ba import BAProblem, ba_solve
+from splslam_tpu.slam import map as mapmod
+from splslam_tpu.slam import pipeline
+from splslam_tpu.slam.frame import FrameData
+from splslam_tpu.slam.map import MapState, scale_band
+from splslam_tpu.slam.pipeline import StepState
 
-def track_mono(system, frame, ts: float) -> np.ndarray:
-    from splslam_tpu.slam.mono_impl import track_mono_impl
 
-    return track_mono_impl(system, frame, ts)
+# ----------------------------------------------------------------------
+# initialization matching (reference ORBmatcher::SearchForInitialization)
+# ----------------------------------------------------------------------
+@jax.jit
+def match_for_initialization(f1: FrameData, f2: FrameData):
+    """Level-0 windowed match: 100 px window, ratio 0.9, mutual NN,
+    rotation-histogram consistency. Returns (m12 [N] col-in-f2 or -1)."""
+    lvl1 = f1.feat.octave == 0
+    lvl2 = f2.feat.octave == 0
+    win = M.window_mask(f1.feat.xy, f2.feat.xy, 100.0)
+    dist = M.hamming_matrix(f1.feat.desc, f2.feat.desc)
+    d = M.masked_distances(
+        dist, f1.feat.valid & lvl1, f2.feat.valid & lvl2, win
+    )
+    mt, md = M.nn_match(d, max_dist=M.TH_LOW, ratio=0.9, mutual=True)
+    mt = M.rotation_consistency(f1.feat.angle, f2.feat.angle, mt)
+    return mt, jnp.sum((mt >= 0).astype(jnp.int32))
+
+
+# ----------------------------------------------------------------------
+# initial map creation (reference CreateInitialMapMonocular :1379)
+# ----------------------------------------------------------------------
+@partial(jax.jit, static_argnames=("scale_factor", "n_levels"),
+         donate_argnames=("st",))
+def create_initial_map(
+    st: MapState,
+    f1: FrameData,
+    f2: FrameData,
+    m12: jax.Array,       # [N] f1-feature -> f2-feature match
+    R21: jax.Array,
+    t21: jax.Array,
+    xyz_c1: jax.Array,    # [N,3] triangulated per f1 feature (cam-1 frame)
+    good: jax.Array,      # [N] bool
+    ts1: jax.Array,
+    ts2: jax.Array,
+    frame_id1: jax.Array,
+    frame_id2: jax.Array,
+    cam: Camera,
+    scale_factor: float = 1.2,
+    n_levels: int = 8,
+) -> tuple[MapState, StepState, jax.Array]:
+    """Builds KF0 (identity) + KF1 ([R21|t21] / median-depth) and the
+    initial landmarks; runs the 2-camera init BA (the reference's
+    GlobalBundleAdjustemntIni, src/Optimizer.cc:4339). Returns
+    (map, tracker state for frame 2, stats [n_pts, med_depth, chi2])."""
+    N = f1.feat.capacity
+
+    # Median-depth normalization (reference :1440-1460).
+    z = xyz_c1[:, 2]
+    zs = jnp.sort(jnp.where(good, z, jnp.inf))
+    n_good = jnp.sum(good.astype(jnp.int32))
+    med = zs[jnp.clip(n_good // 2, 0, N - 1)]
+    inv_med = 1.0 / jnp.maximum(med, 1e-6)
+    xyz_n = xyz_c1 * inv_med
+    T1 = jnp.eye(4)
+    T2 = jnp.eye(4).at[:3, :3].set(R21).at[:3, 3].set(t21 * inv_med)
+
+    # Allocate landmark slots per good f1 feature.
+    slot = jnp.cumsum(good.astype(jnp.int32)) - 1
+    cap = st.pts.xyz.shape[0]
+    create = good & (slot < cap)
+    sl = jnp.where(create, slot, cap)
+
+    # Normals/bands from the second view (the reference updates normal &
+    # depth from pKFcur observations).
+    O2 = -R21.T @ (t21 * inv_med)
+    view = xyz_n - O2
+    dist2 = jnp.linalg.norm(view, axis=-1)
+    normal = view / jnp.maximum(dist2[:, None], 1e-9)
+    oct2 = f2.feat.octave[jnp.clip(m12, 0)]
+    dmin, dmax = scale_band(dist2, oct2, scale_factor, n_levels)
+    desc2 = f2.feat.desc[jnp.clip(m12, 0)]
+
+    pts = st.pts._replace(
+        xyz=st.pts.xyz.at[sl].set(xyz_n, mode="drop"),
+        desc=st.pts.desc.at[sl].set(desc2, mode="drop"),
+        normal=st.pts.normal.at[sl].set(normal, mode="drop"),
+        dmin=st.pts.dmin.at[sl].set(dmin, mode="drop"),
+        dmax=st.pts.dmax.at[sl].set(dmax, mode="drop"),
+        n_obs=st.pts.n_obs.at[sl].set(2, mode="drop"),
+        n_visible=st.pts.n_visible.at[sl].set(2, mode="drop"),
+        n_found=st.pts.n_found.at[sl].set(2, mode="drop"),
+        first_kf=st.pts.first_kf.at[sl].set(0, mode="drop"),
+        valid=st.pts.valid.at[sl].set(True, mode="drop"),
+    )
+    st = st._replace(pts=pts, n_pts=jnp.sum(create.astype(jnp.int32)))
+
+    lm1 = jnp.where(create, slot, -1)
+    # f2 feature j <- landmark of the f1 feature that matched it.
+    lm2 = jnp.full((N,), -1, jnp.int32)
+    lm2 = lm2.at[jnp.where(create, m12, N)].set(
+        jnp.where(create, slot, -1), mode="drop"
+    )
+    no_lines = jnp.full((f1.lines.capacity,), -1, jnp.int32)
+    st, kf0 = mapmod.insert_keyframe(st, f1, T1, lm1, no_lines, frame_id1, ts1)
+    st, kf1 = mapmod.insert_keyframe(st, f2, T2, lm2, no_lines, frame_id2, ts2)
+
+    # ---- init BA: 2 cameras (cam0 frozen), all landmarks ----
+    L = cap
+    e_cam = jnp.concatenate(
+        [jnp.zeros((N,), jnp.int32), jnp.ones((N,), jnp.int32)]
+    )
+    lm_rows = jnp.concatenate([lm1, lm2])
+    e_uv = jnp.concatenate([f1.feat.xy, f2.feat.xy], axis=0)
+    e_sig = jnp.concatenate([1.0 / f1.feat.sigma2, 1.0 / f2.feat.sigma2])
+    e_ok = lm_rows >= 0
+    prob = BAProblem(
+        Tcw=jnp.stack([T1, T2]),
+        cam_free=jnp.array([False, True]),
+        xyz=st.pts.xyz,
+        lm_ok=st.pts.valid,
+        e_cam=e_cam,
+        e_lm=jnp.clip(lm_rows, 0),
+        e_uv=e_uv,
+        e_ur=jnp.full((2 * N,), -1.0),
+        e_inv_sigma2=e_sig,
+        e_ok=e_ok,
+    )
+    res = ba_solve(cam, prob, rounds=2, iters=8, n_free=2)
+    T2_opt = res.Tcw[1]
+    st = st._replace(
+        pts=st.pts._replace(xyz=res.xyz),
+        kfs=st.kfs._replace(Tcw=st.kfs.Tcw.at[1].set(T2_opt)),
+    )
+    # Drop landmarks whose edges became outliers in both views.
+    bad2 = (prob.e_ok & ~res.e_inlier)[N:]
+    lm2_f = jnp.where(bad2, -1, lm2)
+    st = st._replace(kfs=st.kfs._replace(
+        lm_idx=st.kfs.lm_idx.at[1].set(lm2_f)
+    ))
+
+    step = StepState(
+        frame=f2,
+        lm_gid=lm2_f,
+        lm_xyz=st.pts.xyz[jnp.clip(lm2_f, 0)],
+        Tcw=T2_opt,
+        velocity=jnp.eye(4),
+    )
+    stats = jnp.stack([
+        st.n_pts.astype(jnp.float32),
+        med,
+        res.total_chi2,
+    ])
+    out_pose = T2_opt.reshape(-1)
+    return st, step, jnp.concatenate([stats, out_pose])
+
+
+# ----------------------------------------------------------------------
+# host-side mono state machine
+# ----------------------------------------------------------------------
+class _MonoInit(NamedTuple):
+    frame: FrameData
+    ts: float
+    frame_id: int
+
+
+def track_mono_impl(system, image: jax.Array, ts: float) -> np.ndarray:
+    from splslam_tpu.slam.frame import build_frame_mono
+    from splslam_tpu.slam.system import TrackingState
+
+    s = system
+    if s.state in (TrackingState.NO_IMAGES_YET, TrackingState.NOT_INITIALIZED):
+        frame = build_frame_mono(
+            image.astype(jnp.float32), s.cam, s.spec,
+            undistort=s.settings.has_distortion,
+            with_lines=s.settings.using_line,
+            line_capacity=s.settings.line_features,
+        )
+        n_feat = int(jnp.sum(frame.feat.valid.astype(jnp.int32)))
+        if s.mono_state is None:
+            # Need a reference frame with >100 features (reference :1018).
+            if n_feat > 100:
+                s.mono_state = _MonoInit(frame, ts, s.frame_id)
+                s.state = TrackingState.NOT_INITIALIZED
+            s.frame_id += 1
+            return s.last_Tcw_np.copy()
+
+        if n_feat <= 100:
+            # Lost the reference (reference :1032 deletes initializer).
+            s.mono_state = None
+            s.state = TrackingState.NO_IMAGES_YET
+            s.frame_id += 1
+            return s.last_Tcw_np.copy()
+
+        ref = s.mono_state
+        m12, n_m = match_for_initialization(ref.frame, frame)
+        if int(n_m) < 70:
+            # Too few matches: the current frame becomes the new reference
+            # (reference :1049 re-seeds the initializer).
+            s.mono_state = _MonoInit(frame, ts, s.frame_id)
+            s.frame_id += 1
+            return s.last_Tcw_np.copy()
+
+        # Unified correspondence table (points now; line midpoints join
+        # here when System.usingLine is set).
+        ok = m12 >= 0
+        xy1 = ref.frame.feat.xy
+        xy2 = frame.feat.xy[jnp.clip(m12, 0)]
+        from splslam_tpu.slam.initializer import two_view_init
+
+        K = jnp.array(
+            [[s.cam.fx, 0.0, s.cam.cx],
+             [0.0, s.cam.fy, s.cam.cy],
+             [0.0, 0.0, 1.0]]
+        )
+        res = two_view_init(
+            jax.random.PRNGKey(0), xy1, xy2, ok, K
+        )
+        if not bool(res.ok):
+            s.frame_id += 1
+            return s.last_Tcw_np.copy()
+
+        s.map, s.step, out = create_initial_map(
+            s.map, ref.frame, frame, m12, res.R21, res.t21,
+            res.xyz, res.good & ok,
+            jnp.float32(ref.ts), jnp.float32(ts),
+            jnp.int32(ref.frame_id), jnp.int32(s.frame_id),
+            s.cam,
+            scale_factor=s.settings.scale_factor,
+            n_levels=s.settings.n_levels,
+        )
+        out = np.asarray(out)
+        s.n_kfs = 2
+        s.n_pts = int(out[0])
+        s.ref_kf = 1
+        s.ref_kf_matches = int(out[0])
+        s.frames_since_kf = 0
+        T2 = out[3:].reshape(4, 4).astype(np.float32)
+        s.kf_pose_host[0] = np.eye(4, dtype=np.float32)
+        s.kf_pose_host[1] = T2
+        s.state = TrackingState.OK
+        s.last_Tcw_np = T2
+        # Log both bootstrap frames.
+        s._log_frame(ref.ts, np.eye(4, dtype=np.float32), lost=False)
+        s._log_frame(ts, T2, lost=False)
+        s.mono_state = None
+        s.frame_id += 1
+        s.mapper.big_change_idx += 1
+        return T2.copy()
+
+    # ---- initialized: fused tracking step on the mono image ----
+    s.map, new_step, stats_dev = pipeline.vo_frame_step_mono(
+        image, s.map, s.step, s._th_depth_dev, jnp.int32(s.ref_kf),
+        s.cam, s.spec, s.scales,
+        m_local=s.settings.local_window,
+        scale_factor=s.settings.scale_factor,
+        n_levels=s.settings.n_levels,
+        with_lines=s.settings.using_line,
+        line_capacity=s.settings.line_features,
+        undistort=s.settings.has_distortion,
+    )
+    return s._enqueue_step(new_step, stats_dev, ts)

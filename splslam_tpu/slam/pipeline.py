@@ -96,8 +96,7 @@ def assemble_local_window(
     donate_argnames=("map_state",),
 )
 def vo_frame_step(
-    img_left: jax.Array,
-    img_right: jax.Array,
+    imgs: jax.Array,
     map_state: MapState,
     prev: StepState,
     th_depth_m: jax.Array,
@@ -111,9 +110,13 @@ def vo_frame_step(
     line_capacity: int = 8,
 ) -> tuple[MapState, StepState, jax.Array]:
     """One stereo frame, end to end, on device. Returns
-    (map_state, new_step_state, packed_stats[STATS_LEN])."""
+    (map_state, new_step_state, packed_stats[STATS_LEN]).
+
+    `imgs` is the stacked [2,H,W] stereo pair, any dtype (the host ships
+    uint8: the tunnel to the TPU moves ~22 MB/s, so one packed u8
+    transfer replaces two 4x-bigger f32 ones)."""
     frame = build_frame_stereo(
-        img_left.astype(jnp.float32), img_right.astype(jnp.float32), cam, spec,
+        imgs[0].astype(jnp.float32), imgs[1].astype(jnp.float32), cam, spec,
         line_capacity=line_capacity,
     )
     return _track_body(frame, map_state, prev, th_depth_m, ref_kf, cam,
@@ -181,6 +184,42 @@ def _track_body(frame, map_state, prev, th_depth_m, ref_kf, cam, scales,
         velocity=velocity,
     )
     return map_state, new_state, stats
+
+
+@partial(
+    jax.jit,
+    static_argnames=("spec", "m_local", "scale_factor", "n_levels",
+                     "with_lines", "line_capacity", "undistort"),
+    donate_argnames=("map_state",),
+)
+def vo_frame_step_mono(
+    image: jax.Array,
+    map_state: MapState,
+    prev: StepState,
+    th_depth_m: jax.Array,
+    ref_kf: jax.Array,
+    cam: Camera,
+    spec: PyramidSpec,
+    scales: jax.Array,
+    m_local: int = 2048,
+    scale_factor: float = 1.2,
+    n_levels: int = 8,
+    with_lines: bool = False,
+    line_capacity: int = 128,
+    undistort: bool = False,
+) -> tuple[MapState, StepState, jax.Array]:
+    """Monocular fused step (reference GrabImageMonocular -> Track /
+    TrackBoth, src/Tracking.cc:360-417): frame build (ORB + optional
+    lines) + tracking in one program."""
+    from splslam_tpu.slam.frame import build_frame_mono
+
+    frame = build_frame_mono(
+        image.astype(jnp.float32), cam, spec,
+        undistort=undistort, with_lines=with_lines,
+        line_capacity=line_capacity,
+    )
+    return _track_body(frame, map_state, prev, th_depth_m, ref_kf, cam,
+                       scales, m_local, scale_factor, n_levels)
 
 
 @partial(

@@ -172,18 +172,24 @@ class System:
     # public API (reference System.h:84-128)
     # ------------------------------------------------------------------
     def track_stereo(self, img_left, img_right, timestamp: float) -> np.ndarray:
-        imgL = jnp.asarray(img_left, jnp.float32)
-        imgR = jnp.asarray(img_right, jnp.float32)
+        # One packed uint8 transfer for the pair: the tunnel-attached TPU
+        # is H2D-bandwidth-bound (~22 MB/s), so ship 1 byte/px, not 4.
+        imgs = jnp.asarray(
+            np.stack(
+                [np.asarray(img_left), np.asarray(img_right)]
+            ).astype(np.uint8)
+        )
         if self.state in (TrackingState.NO_IMAGES_YET, TrackingState.NOT_INITIALIZED):
             frame = build_frame_stereo(
-                imgL, imgR, self.cam, self.spec,
+                imgs[0].astype(jnp.float32), imgs[1].astype(jnp.float32),
+                self.cam, self.spec,
                 line_capacity=self.settings.line_features,
             )
             self._stereo_initialize(frame, timestamp)
             return self.last_Tcw_np.copy()
 
         self.map, new_step, stats_dev = pipeline.vo_frame_step(
-            imgL, imgR, self.map, self.step,
+            imgs, self.map, self.step,
             self._th_depth_dev, jnp.int32(self.ref_kf),
             self.cam, self.spec, self.scales,
             m_local=self.settings.local_window,
@@ -194,7 +200,7 @@ class System:
         return self._enqueue_step(new_step, stats_dev, timestamp)
 
     def track_rgbd(self, img, depth, timestamp: float) -> np.ndarray:
-        imgj = jnp.asarray(img, jnp.float32)
+        imgj = jnp.asarray(np.asarray(img).astype(np.uint8))
         depthj = jnp.asarray(depth, jnp.float32)
         if self.state in (TrackingState.NO_IMAGES_YET, TrackingState.NOT_INITIALIZED):
             frame = build_frame_rgbd(
@@ -218,16 +224,10 @@ class System:
         return self._enqueue_step(new_step, stats_dev, timestamp)
 
     def track_mono(self, img, timestamp: float) -> np.ndarray:
-        frame = build_frame_mono(
-            jnp.asarray(img, jnp.float32),
-            self.cam, self.spec,
-            undistort=self.settings.has_distortion,
-            with_lines=self.settings.using_line,
-            line_capacity=self.settings.line_features,
-        )
+        image = jnp.asarray(np.asarray(img).astype(np.uint8))
         from splslam_tpu.slam import mono
 
-        return mono.track_mono(self, frame, timestamp)
+        return mono.track_mono_impl(self, image, timestamp)
 
     def activate_localization_mode(self):
         self.localization_only = True

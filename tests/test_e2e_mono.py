@@ -1,0 +1,44 @@
+"""End-to-end monocular SLAM on a synthetic sequence: two-view bootstrap
+(unified RANSAC), tracking, keyframes + mapping, Sim3-aligned ATE."""
+
+import numpy as np
+
+from splslam_tpu.io.synthetic import ate_rmse, make_stereo_sequence
+from splslam_tpu.slam.system import Sensor, Settings, System, TrackingState
+
+
+def run_mono(motion="lateral", n_frames=30, mapping=True):
+    K, bf, frames, gt = make_stereo_sequence(
+        n_frames=n_frames, motion=motion, width=320, height=240
+    )
+    st = Settings(
+        fx=float(K[0, 0]), fy=float(K[1, 1]), cx=float(K[0, 2]),
+        cy=float(K[1, 2]), bf=0.0, width=320, height=240,
+        n_features=600, n_levels=4, fps=10,
+        max_points=8192, max_keyframes=64, local_window=1024,
+        enable_local_mapping=mapping,
+    )
+    sysm = System(st, Sensor.MONOCULAR)
+    for i, (l, r) in enumerate(frames):
+        sysm.track_mono(l, i * 0.1)
+    sysm.drain()
+    return sysm, gt
+
+
+class TestMonoSLAM:
+    def test_initializes_and_tracks(self):
+        sysm, gt = run_mono()
+        assert sysm.get_tracking_state() == TrackingState.OK
+        assert sysm.n_kfs >= 2
+        est = sysm.poses()
+        assert est.shape[0] >= 25
+        idx = [int(round(e.ts / 0.1)) for e in sysm.trajectory if not e.lost]
+        err = ate_rmse(est, gt[idx], align_scale=True)
+        # Mono scale is free; Sim3-aligned error over ~1.2 units of travel.
+        assert err < 0.1, err
+
+    def test_mono_mapping_creates_points(self):
+        sysm, _ = run_mono()
+        assert sysm.mapper.n_steps >= 1
+        n_valid = int(np.asarray(sysm.map.pts.valid).sum())
+        assert n_valid > 50
