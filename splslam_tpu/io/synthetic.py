@@ -22,6 +22,21 @@ def make_texture(size: int = 2048, seed: int = 0, scale_px: int = 4) -> np.ndarr
     return t.astype(np.float32)
 
 
+def make_grid_texture(size: int = 2048, seed: int = 0,
+                      spacing: int = 192, width: int = 8) -> np.ndarray:
+    """Texture with strong straight grid lines over random blotches —
+    exercises the LINE pipeline (point+line scenes like the reference's
+    TUM structure-texture sequences)."""
+    t = make_texture(size, seed=seed)
+    # Solid dark grid strokes on top of full-contrast blobs: ORB keeps
+    # its distinctive corners, the line detector gets strong straight
+    # edges with uniform interior (LSD-friendly).
+    for i in range(0, size, spacing):
+        t[i:i + width, :] = 15.0
+        t[:, i:i + width] = 15.0
+    return t.astype(np.float32)
+
+
 class PlaneScene:
     """World: plane z = z0 textured with `texture`; 1 world unit maps to
     `px_per_unit` texture pixels. Optionally a second plane at z1 covering
@@ -76,10 +91,12 @@ def make_stereo_sequence(
     baseline: float = 0.12,
     seed: int = 0,
     motion: str = "lateral",
+    texture: str = "blobs",
 ):
     """Returns (K, bf, list[(imgL, imgR)], gt_Twc [F,4,4])."""
     K = np.array([[fx, 0, width / 2], [0, fx, height / 2], [0, 0, 1]], np.float32)
-    scene = PlaneScene(make_texture(seed=seed))
+    tex = make_grid_texture(seed=seed) if texture == "grid" else make_texture(seed=seed)
+    scene = PlaneScene(tex)
     poses = []
     frames = []
     for i in range(n_frames):

@@ -120,7 +120,12 @@ def _angle_diff(a: jax.Array, b: jax.Array) -> jax.Array:
 
 
 def _grow(seeds_xy, seed_angle, gx, gy, mag, mag_th, direction):
-    """March from seeds along +-(cos a, sin a); return run lengths [C]."""
+    """March from seeds along +-(cos a, sin a); return run lengths [C].
+
+    Robustness: continuation uses a hysteresis magnitude threshold
+    (0.5x the seed threshold) and single-sample dropouts are bridged
+    (a dead sample flanked by two live ones stays live) — texture noise
+    on top of an otherwise clean edge must not truncate the run."""
     steps = jnp.arange(1, MAX_STEPS + 1, dtype=jnp.float32)
     dx = jnp.cos(seed_angle)[:, None] * steps[None, :] * direction
     dy = jnp.sin(seed_angle)[:, None] * steps[None, :] * direction
@@ -131,9 +136,79 @@ def _grow(seeds_xy, seed_angle, gx, gy, mag, mag_th, direction):
     sgy = _bilinear(gy, xs, ys)
     # Level-line angle at the sample = gradient angle + pi/2.
     ang = jnp.arctan2(sgy, sgx) + 0.5 * jnp.pi
-    alive = (m > mag_th) & (_angle_diff(ang, seed_angle[:, None]) < ANGLE_TOL)
+    alive = (m > 0.5 * mag_th) & (
+        _angle_diff(ang, seed_angle[:, None]) < ANGLE_TOL
+    )
+    # Bridge 1-sample gaps.
+    prev = jnp.concatenate([jnp.ones_like(alive[:, :1]), alive[:, :-1]], 1)
+    nxt = jnp.concatenate([alive[:, 1:], jnp.zeros_like(alive[:, :1])], 1)
+    alive = alive | (prev & nxt)
     run = jnp.cumprod(alive.astype(jnp.int32), axis=1)
     return jnp.sum(run, axis=1).astype(jnp.float32)  # [C] steps alive
+
+
+def _refine_direction(seeds_xy, seed_angle, gx, gy):
+    """Re-estimate the level-line direction from the mean gradient over a
+    short +-3-step probe along the seed direction (grid-cell argmax seeds
+    often land on corners/junctions where the pointwise gradient is
+    diagonal; the local average recovers the dominant edge)."""
+    steps = jnp.arange(-3, 4, dtype=jnp.float32)
+    dx = jnp.cos(seed_angle)[:, None] * steps[None, :]
+    dy = jnp.sin(seed_angle)[:, None] * steps[None, :]
+    xs = seeds_xy[:, 0:1] + dx
+    ys = seeds_xy[:, 1:2] + dy
+    sgx = _bilinear(gx, xs, ys)
+    sgy = _bilinear(gy, xs, ys)
+    # Average in double-angle space (gradients on opposite edge sides
+    # point opposite ways; orientation is mod pi).
+    th = jnp.arctan2(sgy, sgx)
+    w = jnp.sqrt(sgx * sgx + sgy * sgy)
+    c2 = jnp.sum(w * jnp.cos(2 * th), axis=1)
+    s2 = jnp.sum(w * jnp.sin(2 * th), axis=1)
+    grad_dir = 0.5 * jnp.arctan2(s2, c2)
+    return grad_dir + 0.5 * jnp.pi
+
+
+def _refine_segment(p_start, p_end, mag, n_samp: int = 16, probe: int = 2):
+    """Sub-pixel segment refinement: for n_samp points along the segment,
+    probe +-probe px along the normal, take the magnitude-weighted
+    centroid, then total-least-squares refit and re-project endpoints."""
+    t = jnp.linspace(0.0, 1.0, n_samp)
+    px = p_start[:, 0, None] + (p_end[:, 0] - p_start[:, 0])[:, None] * t
+    py = p_start[:, 1, None] + (p_end[:, 1] - p_start[:, 1])[:, None] * t
+    d = p_end - p_start
+    ln = jnp.maximum(jnp.linalg.norm(d, axis=-1), 1e-6)
+    nx = (-d[:, 1] / ln)[:, None, None]
+    ny = (d[:, 0] / ln)[:, None, None]
+    off = jnp.arange(-probe, probe + 1, dtype=jnp.float32)[None, None, :]
+    sx = px[:, :, None] + nx * off
+    sy = py[:, :, None] + ny * off
+    m = _bilinear(mag, sx, sy)                     # [C, n_samp, 2p+1]
+    w = m / jnp.maximum(jnp.sum(m, axis=-1, keepdims=True), 1e-6)
+    sh = jnp.sum(w * off, axis=-1)                 # [C, n_samp] normal shift
+    cx = px + sh * nx[:, :, 0]
+    cy = py + sh * ny[:, :, 0]
+    # TLS fit through the corrected samples, weighted by magnitude.
+    wm = jnp.sum(m, axis=-1)
+    wsum = jnp.maximum(jnp.sum(wm, axis=-1, keepdims=True), 1e-6)
+    mx = jnp.sum(wm * cx, axis=-1, keepdims=True) / wsum
+    my = jnp.sum(wm * cy, axis=-1, keepdims=True) / wsum
+    ux = cx - mx
+    uy = cy - my
+    sxx = jnp.sum(wm * ux * ux, axis=-1)
+    syy = jnp.sum(wm * uy * uy, axis=-1)
+    sxy = jnp.sum(wm * ux * uy, axis=-1)
+    theta = 0.5 * jnp.arctan2(2 * sxy, sxx - syy)  # principal direction
+    dvx = jnp.cos(theta)
+    dvy = jnp.sin(theta)
+    # Project original endpoints onto the fitted line.
+    def proj(p):
+        rx = p[:, 0] - mx[:, 0]
+        ry = p[:, 1] - my[:, 0]
+        s = rx * dvx + ry * dvy
+        return jnp.stack([mx[:, 0] + s * dvx, my[:, 0] + s * dvy], axis=-1)
+
+    return proj(p_start), proj(p_end)
 
 
 @partial(jax.jit, static_argnames=("capacity", "cell", "min_length"))
@@ -149,7 +224,7 @@ def extract_lines(
     mag = jnp.sqrt(gx * gx + gy * gy)
     mag_th = jnp.maximum(jnp.max(mag) * MAG_FRAC, 1e-3)
 
-    # --- seeds: strongest edge pixel per cell ---
+    # --- seeds: top-SEEDS_PER_CELL edge pixels per cell ---
     Hp = -(-H // cell) * cell
     Wp = -(-W // cell) * cell
     pm = jnp.pad(mag, ((0, Hp - H), (0, Wp - W)))
@@ -157,31 +232,53 @@ def extract_lines(
     cells = pm.reshape(ncy, cell, ncx, cell).transpose(0, 2, 1, 3).reshape(
         ncy * ncx, cell * cell
     )
-    idx = jnp.argmax(cells, axis=1)
-    cmax = cells[jnp.arange(ncy * ncx), idx]
-    cy = (jnp.arange(ncy * ncx) // ncx) * cell + idx // cell
-    cx = (jnp.arange(ncy * ncx) % ncx) * cell + idx % cell
+    k_seed = 2
+    cmaxs, idxs = jax.lax.top_k(cells, k_seed)       # [ncells, k]
+    cyc = (jnp.arange(ncy * ncx) // ncx)[:, None] * cell + idxs // cell
+    cxc = (jnp.arange(ncy * ncx) % ncx)[:, None] * cell + idxs % cell
+    cy = cyc.reshape(-1)
+    cx = cxc.reshape(-1)
+    cmax = cmaxs.reshape(-1)
     seeds = jnp.stack([cx, cy], axis=-1).astype(jnp.float32)  # [C,2]
     seed_ok = cmax > mag_th
 
     sgx = gx[cy, cx]
     sgy = gy[cy, cx]
     seed_angle = jnp.arctan2(sgy, sgx) + 0.5 * jnp.pi  # level-line direction
+    # One refinement pass: local-mean gradient orientation is far more
+    # stable than the pointwise gradient at the seed.
+    seed_angle = _refine_direction(seeds, seed_angle, gx, gy)
 
-    # --- bidirectional growth ---
+    # --- bidirectional growth, twice: the second pass re-marches from the
+    # first run's CENTER with a direction refit there, so the recovered
+    # span depends on the physical line, not on where in it the seed
+    # happened to land (stabilizes endpoints/midpoints across frames) ---
     fwd = _grow(seeds, seed_angle, gx, gy, mag, mag_th, +1.0)
     bwd = _grow(seeds, seed_angle, gx, gy, mag, mag_th, -1.0)
     dirv = jnp.stack([jnp.cos(seed_angle), jnp.sin(seed_angle)], axis=-1)
-    p_end = seeds + dirv * fwd[:, None]
-    p_start = seeds - dirv * bwd[:, None]
+    center = seeds + dirv * (0.5 * (fwd - bwd))[:, None]
+    ang2 = _refine_direction(center, seed_angle, gx, gy)
+    fwd = _grow(center, ang2, gx, gy, mag, mag_th, +1.0)
+    bwd = _grow(center, ang2, gx, gy, mag, mag_th, -1.0)
+    dirv = jnp.stack([jnp.cos(ang2), jnp.sin(ang2)], axis=-1)
+    p_end = center + dirv * fwd[:, None]
+    p_start = center - dirv * bwd[:, None]
     length = fwd + bwd
     ok = seed_ok & (length >= min_length)
 
+    # --- subpixel refinement: pull sample points to the perpendicular
+    # magnitude centroid, then refit the segment by total least squares
+    # (stabilizes midpoints to sub-pixel across frames, which the
+    # unified point+midpoint RANSAC needs) ---
+    p_start, p_end = _refine_segment(p_start, p_end, mag)
+    length = jnp.linalg.norm(p_end - p_start, axis=-1)
+
     # Canonical orientation: angle in (-pi/2, pi/2] so matching is
-    # direction-agnostic; endpoints ordered by x (then y).
-    swap = (p_end[:, 0] < p_start[:, 0]) | (
-        (p_end[:, 0] == p_start[:, 0]) & (p_end[:, 1] < p_start[:, 1])
-    )
+    # direction-agnostic. Decide the flip from the dominant axis with a
+    # tolerance band (near-vertical lines must not flip on x-jitter).
+    d0 = p_end - p_start
+    near_vert = jnp.abs(d0[:, 0]) < 0.05 * jnp.maximum(length, 1.0)
+    swap = jnp.where(near_vert, d0[:, 1] < 0, d0[:, 0] < 0)
     a = jnp.where(swap[:, None], p_end, p_start)
     b = jnp.where(swap[:, None], p_start, p_end)
 

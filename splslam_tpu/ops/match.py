@@ -117,6 +117,25 @@ def octave_mask(
     return (d >= lo) & (d <= hi)
 
 
+def rotation_consistency_lines(
+    angle1: jax.Array, angle2: jax.Array, matches: jax.Array
+) -> jax.Array:
+    """Rotation-histogram consistency for UNDIRECTED line angles (mod pi;
+    the reference histograms line-angle differences, Linematcher.cc:233).
+    """
+    ok = matches >= 0
+    idx = jnp.clip(matches, 0)
+    rot = jnp.mod(angle1 - angle2[idx], jnp.pi)
+    bins = jnp.clip(
+        (rot * (HISTO_BINS / jnp.pi)).astype(jnp.int32), 0, HISTO_BINS - 1
+    )
+    hist = jnp.zeros((HISTO_BINS,), jnp.int32).at[bins].add(ok.astype(jnp.int32))
+    top3 = jax.lax.top_k(hist, 3)[0]
+    thr = jnp.maximum(top3[2], (0.1 * top3[0]).astype(jnp.int32))
+    good_bin = hist >= jnp.maximum(thr, 1)
+    return jnp.where(ok & good_bin[bins], matches, -1)
+
+
 def rotation_consistency(
     angle1: jax.Array, angle2: jax.Array, matches: jax.Array
 ) -> jax.Array:

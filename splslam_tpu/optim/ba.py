@@ -149,7 +149,16 @@ def ba_solve(
 
     chi2_gate = jnp.where(p.e_ur >= 0, CHI2_STEREO, CHI2_MONO)
 
-    def gn_step(state, active):
+    def robust_cost(Tcw_all, xyz_all, active):
+        """Total Huber-robustified chi2 of the active edges."""
+        _, _, _, chi2, z_ok = _edge_terms(Tcw_all, xyz_all, cam, p)
+        d2 = chi2_gate
+        rho = jnp.where(
+            chi2 <= d2, chi2, 2.0 * jnp.sqrt(d2 * jnp.maximum(chi2, 0.0)) - d2
+        )
+        return jnp.sum(jnp.where(active & z_ok, rho, 0.0))
+
+    def gn_step(state, active, lam):
         Tcw_all, xyz_all = state
         r, J_c, J_p, chi2, z_ok = _edge_terms(Tcw_all, xyz_all, cam, p)
         w = (
@@ -179,7 +188,13 @@ def ba_solve(
         W = jnp.zeros((Cf, L, 6, 3)).at[ec, p.e_lm].add(Hcp_e, mode="drop")
 
         lm_active = p.lm_ok & (jnp.diagonal(Hpp, axis1=1, axis2=2).sum(-1) > 0)
-        Hpp_d = Hpp + (damping + 1e-8) * jnp.eye(3) + jnp.where(
+        # LM damping: multiplicative on the block diagonals (plus a floor
+        # for empty blocks), so the flat gauge directions of e.g. the
+        # monocular two-view problem cannot blow up a step.
+        dHpp = jnp.eye(3)[None] * jnp.maximum(
+            jnp.diagonal(Hpp, axis1=1, axis2=2), 1e-8
+        )[:, None, :]
+        Hpp_d = Hpp + lam * dHpp + 1e-6 * jnp.eye(3) + jnp.where(
             lm_active, 0.0, 1.0
         )[:, None, None] * jnp.eye(3)
         iHpp = jnp.linalg.inv(Hpp_d)  # [L,3,3]
@@ -194,7 +209,7 @@ def ba_solve(
         rhs = bc - jnp.einsum("clim,lm->ci", WiH, bp, precision=_HI)
 
         A = S_full.reshape(Cf * 6, Cf * 6)
-        A = A + damping * jnp.diag(jnp.maximum(jnp.diag(A), 1.0))
+        A = A + lam * jnp.diag(jnp.maximum(jnp.diag(A), 1.0))
         dx_c = -jnp.linalg.solve(A, rhs.reshape(-1)).reshape(Cf, 6)
         ok = jnp.all(jnp.isfinite(dx_c))
         dx_c = jnp.where(ok, dx_c, 0.0)
@@ -215,19 +230,32 @@ def ba_solve(
         return (Tcw_new, xyz_new)
 
     def round_body(carry, _):
-        (Tcw_all, xyz_all), active = carry
+        (Tcw_all, xyz_all), active, lam = carry
 
-        def step(st, _):
-            return gn_step(st, active), None
+        def lm_iter(st, _):
+            (Tcw_c, xyz_c), lam_c, cost_c = st
+            cand = gn_step((Tcw_c, xyz_c), active, lam_c)
+            cost_new = robust_cost(cand[0], cand[1], active)
+            accept = cost_new < cost_c
+            Tcw_n = jnp.where(accept, cand[0], Tcw_c)
+            xyz_n = jnp.where(accept, cand[1], xyz_c)
+            lam_n = jnp.clip(
+                jnp.where(accept, lam_c * 0.5, lam_c * 4.0), 1e-6, 1e6
+            )
+            cost_n = jnp.where(accept, cost_new, cost_c)
+            return ((Tcw_n, xyz_n), lam_n, cost_n), None
 
-        st, _ = jax.lax.scan(step, (Tcw_all, xyz_all), None, length=iters)
-        Tcw_all, xyz_all = st
+        cost0 = robust_cost(Tcw_all, xyz_all, active)
+        st, _ = jax.lax.scan(
+            lm_iter, ((Tcw_all, xyz_all), lam, cost0), None, length=iters
+        )
+        (Tcw_all, xyz_all), lam, _ = st
         _, _, _, chi2, z_ok = _edge_terms(Tcw_all, xyz_all, cam, p)
         new_active = p.e_ok & (chi2 <= chi2_gate) & z_ok
-        return ((Tcw_all, xyz_all), new_active), None
+        return ((Tcw_all, xyz_all), new_active, lam), None
 
-    init = ((p.Tcw, p.xyz), p.e_ok)
-    (st, active), _ = jax.lax.scan(round_body, init, None, length=rounds)
+    init = ((p.Tcw, p.xyz), p.e_ok, jnp.float32(damping))
+    (st, active, _), _ = jax.lax.scan(round_body, init, None, length=rounds)
     Tcw_all, xyz_all = st
     _, _, _, chi2, z_ok = _edge_terms(Tcw_all, xyz_all, cam, p)
     inlier = p.e_ok & (chi2 <= chi2_gate) & z_ok

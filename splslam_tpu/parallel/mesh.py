@@ -39,13 +39,17 @@ def batched_track_step(cam, scales, scale_factor: float, n_levels: int):
     """Returns a function tracking B frames (one per sequence) at once:
     vmap of slam.tracking.track_step over the leading batch axis. Under a
     sharded jit, each device tracks its own sequences."""
-    from splslam_tpu.slam.tracking import track_step
+    from splslam_tpu.slam.tracking import LineWindow, track_step
 
     def one(cur, last_xy, last_oct, last_ang, last_desc, lm_xyz, lm_gid,
             T_pred, win):
+        lcap = cur.lines.capacity
+        no_ll = jnp.full((lcap,), -1, jnp.int32)
         return track_step(
             cam, scales, cur, last_xy, last_oct, last_ang, last_desc,
             lm_xyz, lm_gid, T_pred, win,
+            cur.lines, no_ll, jnp.zeros((lcap, 3)), jnp.zeros((lcap,)),
+            LineWindow.empty(1),
             scale_factor=scale_factor, n_levels=n_levels,
         )
 

@@ -95,7 +95,7 @@ def _solve_h(x1n: jax.Array, x2n: jax.Array) -> jax.Array:
     return vt[-1].reshape(3, 3)
 
 
-def _score_f(F: jax.Array, xy1, xy2, mask):
+def _score_f(F: jax.Array, xy1, xy2, mask, inv_s2_row=None):
     """Symmetric epipolar-distance score (reference CheckFundamentalBoth
     :430-499): sum of (TH_SCORE - chi2) over inliers, both directions."""
     one = jnp.ones_like(xy1[:, :1])
@@ -109,7 +109,7 @@ def _score_f(F: jax.Array, xy1, xy2, mask):
     d1 = jnp.sum(l1 * x1, axis=-1) ** 2 / jnp.maximum(
         l1[:, 0] ** 2 + l1[:, 1] ** 2, 1e-12
     )
-    inv_s2 = 1.0 / (SIGMA * SIGMA)
+    inv_s2 = 1.0 / (SIGMA * SIGMA) if inv_s2_row is None else inv_s2_row
     c1 = d1 * inv_s2
     c2 = d2 * inv_s2
     in1 = (c1 <= TH_CHI2) & mask
@@ -120,7 +120,7 @@ def _score_f(F: jax.Array, xy1, xy2, mask):
     return score, in1 & in2
 
 
-def _score_h(Hm: jax.Array, xy1, xy2, mask):
+def _score_h(Hm: jax.Array, xy1, xy2, mask, inv_s2_row=None):
     """Symmetric transfer score for H (reference CheckHomographyBoth
     :309-377), chi2 gate 5.991 both directions."""
     one = jnp.ones_like(xy1[:, :1])
@@ -131,7 +131,7 @@ def _score_h(Hm: jax.Array, xy1, xy2, mask):
     p1 = x2 @ Hinv.T
     p2 = p2[:, :2] / jnp.where(jnp.abs(p2[:, 2:]) < 1e-9, 1e-9, p2[:, 2:])
     p1 = p1[:, :2] / jnp.where(jnp.abs(p1[:, 2:]) < 1e-9, 1e-9, p1[:, 2:])
-    inv_s2 = 1.0 / (SIGMA * SIGMA)
+    inv_s2 = 1.0 / (SIGMA * SIGMA) if inv_s2_row is None else inv_s2_row
     c2 = jnp.sum((p2 - xy2) ** 2, axis=-1) * inv_s2
     c1 = jnp.sum((p1 - xy1) ** 2, axis=-1) * inv_s2
     th = 5.991
@@ -273,6 +273,9 @@ def two_view_init(
     mask: jax.Array,     # [M] bool — correspondence exists
     K: jax.Array,        # (3,3) intrinsics
     n_hyp: int = 256,
+    inv_sigma2: jax.Array | None = None,  # [M] per-row measurement weight
+    #   (line midpoints are noisier than corners — the reference gives
+    #   them their own sigma band; pass 1/sigma^2 per row)
 ) -> TwoViewResult:
     """The unified point+midpoint RANSAC + model select + reconstruction.
 
@@ -299,8 +302,8 @@ def two_view_init(
         Hn = _solve_h(a1, a2)
         F = T2.T @ Fn @ T1
         Hm = jnp.linalg.inv(T2) @ Hn @ T1
-        sf, _ = _score_f(F, xy1, xy2, mask)
-        sh, _ = _score_h(Hm, xy1, xy2, mask)
+        sf, _ = _score_f(F, xy1, xy2, mask, inv_sigma2)
+        sh, _ = _score_h(Hm, xy1, xy2, mask, inv_sigma2)
         return F, Hm, sf, sh
 
     Fs, Hs, sf, sh = jax.vmap(per_hyp)(samples)
@@ -311,8 +314,8 @@ def two_view_init(
 
     # Refit each best model on ALL of its inliers (normal-equations
     # nullspace via eigh — tightens the minimal-sample estimate).
-    _, in_f0 = _score_f(F, xy1, xy2, mask)
-    _, in_h0 = _score_h(Hm, xy1, xy2, mask)
+    _, in_f0 = _score_f(F, xy1, xy2, mask, inv_sigma2)
+    _, in_h0 = _score_h(Hm, xy1, xy2, mask, inv_sigma2)
 
     def refit_f(inl):
         u1, v1 = x1n[:, 0], x1n[:, 1]
@@ -349,16 +352,16 @@ def two_view_init(
 
     F2 = refit_f(in_f0)
     H2 = refit_h(in_h0)
-    sf2, _ = _score_f(F2, xy1, xy2, mask)
-    sh2, _ = _score_h(H2, xy1, xy2, mask)
+    sf2, _ = _score_f(F2, xy1, xy2, mask, inv_sigma2)
+    sh2, _ = _score_h(H2, xy1, xy2, mask, inv_sigma2)
     F = jnp.where(sf2 >= sf[best_f], F2, F)
     Hm = jnp.where(sh2 >= sh[best_h], H2, Hm)
     SF = jnp.maximum(sf2, sf[best_f])
     SH = jnp.maximum(sh2, sh[best_h])
     use_h = SH / jnp.maximum(SH + SF, 1e-9) > 0.40  # reference :218-224
 
-    _, in_f = _score_f(F, xy1, xy2, mask)
-    _, in_h = _score_h(Hm, xy1, xy2, mask)
+    _, in_f = _score_f(F, xy1, xy2, mask, inv_sigma2)
+    _, in_h = _score_h(Hm, xy1, xy2, mask, inv_sigma2)
     inliers = jnp.where(use_h, in_h, in_f)
 
     # --- reconstruction candidates (compute both, pick by model flag) ---

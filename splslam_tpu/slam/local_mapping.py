@@ -45,6 +45,7 @@ class LocalMapper:
             n_levels=sys.settings.n_levels,
             # cnThObs: 2 mono / 3 stereo-RGBD (reference LocalMapping.cc:419)
             th_obs=2 if sys.sensor == Sensor.MONOCULAR else 3,
+            with_lines=sys.settings.using_line,
         )
         try:
             stats.copy_to_host_async()

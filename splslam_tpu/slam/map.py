@@ -321,6 +321,31 @@ def update_point_stats(
 
 
 @jax.jit
+def update_line_stats(
+    st: MapState, visible_ids: jax.Array, found_ids: jax.Array,
+    found_len: jax.Array,
+) -> MapState:
+    """Bump map-line visible/found counters and fold the observed 2D
+    length into the running average (reference MapLine::IncreaseVisible/
+    IncreaseFound + Update2DLineLength, include/MapLine.h:83)."""
+    lns = st.lns
+    vsafe = jnp.clip(visible_ids, 0)
+    n_visible = lns.n_visible.at[vsafe].add(
+        jnp.where(visible_ids >= 0, 1, 0)
+    )
+    fsafe = jnp.clip(found_ids, 0)
+    n_found = lns.n_found.at[fsafe].add(jnp.where(found_ids >= 0, 1, 0))
+    # Exponential running average of the observed length (the reference
+    # keeps an exact running mean; EMA avoids storing the sample count).
+    old = lns.avg_len2d[fsafe]
+    new = jnp.where(found_ids >= 0, 0.7 * old + 0.3 * found_len, old)
+    avg = lns.avg_len2d.at[fsafe].set(new)
+    return st._replace(
+        lns=lns._replace(n_visible=n_visible, n_found=n_found, avg_len2d=avg)
+    )
+
+
+@jax.jit
 def covisibility_counts(st: MapState, lm_idx_query: jax.Array) -> jax.Array:
     """Shared-landmark counts between a query observation set and every
     keyframe (the covisibility weights of reference

@@ -402,6 +402,187 @@ def fuse_neighbors(
     return st._replace(kfs=kfs._replace(lm_idx=new_lm), pts=pts)
 
 
+def cull_lines(st: MapState, cur_kf: jax.Array, th_obs: int = 2) -> MapState:
+    """MapLineCulling (reference src/LocalMapping.cc:446-482): the same
+    3-strike probation policy as points, on the map-line table."""
+    lns = st.lns
+    ratio = lns.n_found.astype(jnp.float32) / jnp.maximum(
+        lns.n_visible.astype(jnp.float32), 1.0
+    )
+    age = cur_kf - lns.first_kf
+    probation = age <= 3
+    bad_ratio = probation & (ratio < 0.25) & (lns.n_visible >= 4)
+    bad_obs = (age >= 2) & probation & (lns.n_obs <= th_obs)
+    cull = lns.valid & (bad_ratio | bad_obs)
+    new_valid = lns.valid & ~cull
+    ll_idx = st.kfs.ll_idx
+    live = new_valid[jnp.clip(ll_idx, 0)] & (ll_idx >= 0)
+    return st._replace(
+        lns=lns._replace(valid=new_valid),
+        kfs=st.kfs._replace(ll_idx=jnp.where(live, ll_idx, -1)),
+    )
+
+
+def _triangulate_lines_pair(
+    st: MapState, cam: Camera, kf: jax.Array, nb: jax.Array,
+    nb_ok: jax.Array,
+):
+    """Epipolar line-midpoint matching + DLT triangulation of midpoint AND
+    endpoints (reference CreateNewMapLines, src/LocalMapping.cc:731-984:
+    midpoint triangulated with parallax/chi2 checks :731-860, endpoints by
+    DLT :862-984 — reference TriangulateLine, Initializer.cc:1763)."""
+    kfs = st.kfs
+    T1 = kfs.Tcw[kf]
+    T2 = kfs.Tcw[nb]
+    F12 = _epipolar_from_poses(T1, T2, cam)
+
+    seg1 = kfs.lseg[kf]
+    seg2 = kfs.lseg[nb]
+    mid1 = 0.5 * (seg1[:, :2] + seg1[:, 2:4])
+    mid2 = 0.5 * (seg2[:, :2] + seg2[:, 2:4])
+    free1 = kfs.lvalid[kf] & (kfs.ll_idx[kf] < 0)
+    free2 = kfs.lvalid[nb] & (kfs.ll_idx[nb] < 0) & nb_ok
+
+    ones = jnp.ones_like(mid1[:, :1])
+    x1h = jnp.concatenate([mid1, ones], axis=-1)
+    lines = x1h @ F12.T
+    num = (
+        lines[:, None, 0] * mid2[None, :, 0]
+        + lines[:, None, 1] * mid2[None, :, 1]
+        + lines[:, None, 2]
+    )
+    den = lines[:, 0:1] ** 2 + lines[:, 1:2] ** 2
+    dsq = num * num / jnp.maximum(den, 1e-12)
+    epi_ok = dsq < 3.84
+
+    # Length-consistency gate between the two observations.
+    len1 = kfs.llen[kf]
+    len2 = kfs.llen[nb]
+    len_ok = (
+        jnp.abs(len1[:, None] - len2[None, :])
+        / jnp.maximum(jnp.maximum(len1[:, None], len2[None, :]), 1e-6)
+        < 0.5
+    )
+
+    dist = M.hamming_matrix(kfs.ldesc[kf], kfs.ldesc[nb])
+    d = M.masked_distances(dist, free1, free2, epi_ok & len_ok)
+    mt, _ = M.nn_match(d, max_dist=M.TH_LOW, mutual=True)
+    matched = mt >= 0
+    col = jnp.clip(mt, 0)
+
+    K = jnp.array(
+        [[cam.fx, 0.0, cam.cx], [0.0, cam.fy, cam.cy], [0.0, 0.0, 1.0]]
+    )
+    P1 = K @ T1[:3, :4]
+    P2 = K @ T2[:3, :4]
+
+    def dlt(uv_a, uv_b):
+        A = jnp.stack(
+            [
+                uv_a[0] * P1[2] - P1[0],
+                uv_a[1] * P1[2] - P1[1],
+                uv_b[0] * P2[2] - P2[0],
+                uv_b[1] * P2[2] - P2[1],
+            ]
+        )
+        _, _, vt = jnp.linalg.svd(A)
+        X = vt[-1]
+        return X[:3] / jnp.where(jnp.abs(X[3]) < 1e-12, 1e-12, X[3])
+
+    m2 = mid2[col]
+    s2 = seg2[col, :2]
+    e2 = seg2[col, 2:4]
+    Xm = jax.vmap(dlt)(mid1, m2)
+    Xs = jax.vmap(dlt)(seg1[:, :2], s2)
+    Xe = jax.vmap(dlt)(seg1[:, 2:4], e2)
+
+    # Midpoint checks (chi2 3.841 per the reference's line gates).
+    pc1 = Xm @ T1[:3, :3].T + T1[:3, 3]
+    pc2 = Xm @ T2[:3, :3].T + T2[:3, 3]
+    z_ok = (pc1[:, 2] > 1e-3) & (pc2[:, 2] > 1e-3)
+    O1 = -T1[:3, :3].T @ T1[:3, 3]
+    O2 = -T2[:3, :3].T @ T2[:3, 3]
+    r1 = Xm - O1
+    r2 = Xm - O2
+    cosp = jnp.sum(r1 * r2, axis=-1) / jnp.maximum(
+        jnp.linalg.norm(r1, axis=-1) * jnp.linalg.norm(r2, axis=-1), 1e-9
+    )
+    par_ok = cosp < 0.9998
+
+    def reproj_chi2(pc, uv):
+        zs = jnp.maximum(pc[:, 2], 1e-6)
+        u = cam.fx * pc[:, 0] / zs + cam.cx
+        v = cam.fy * pc[:, 1] / zs + cam.cy
+        return (u - uv[:, 0]) ** 2 + (v - uv[:, 1]) ** 2
+
+    rep_ok = (reproj_chi2(pc1, mid1) <= 3.841 * 2) & (
+        reproj_chi2(pc2, m2) <= 3.841 * 2
+    )
+    # Endpoints must land on the same side / have positive depth too.
+    zs_ok = (
+        ((Xs @ T1[:3, :3].T + T1[:3, 3])[:, 2] > 1e-3)
+        & ((Xe @ T1[:3, :3].T + T1[:3, 3])[:, 2] > 1e-3)
+    )
+    finite = (
+        jnp.all(jnp.isfinite(Xm), -1)
+        & jnp.all(jnp.isfinite(Xs), -1)
+        & jnp.all(jnp.isfinite(Xe), -1)
+    )
+    ok = matched & z_ok & par_ok & rep_ok & zs_ok & finite
+    xyz3 = jnp.stack([Xs, Xm, Xe], axis=1)  # [L,3,3]
+    return xyz3, ok, jnp.where(ok, mt, -1), 0.5 * (len1 + len2[col])
+
+
+def create_new_lines(
+    st: MapState, cam: Camera, kf: jax.Array, neighbors: jax.Array,
+    max_new: int = 64,
+) -> MapState:
+    """CreateNewMapLines against the top covisible neighbors."""
+    for j in range(neighbors.shape[0]):
+        nb_id = neighbors[j]
+        nb = jnp.clip(nb_id, 0)
+        nb_ok = jnp.broadcast_to(
+            (nb_id >= 0) & (nb_id != kf), st.kfs.lvalid[0].shape
+        )
+        xyz3, ok, mt, avg_len = _triangulate_lines_pair(st, cam, kf, nb, nb_ok)
+
+        kfs = st.kfs
+        create = ok
+        slot_off = jnp.cumsum(create.astype(jnp.int32)) - 1
+        create = create & (slot_off < max_new)
+        slots = st.n_lns + slot_off
+        cap = st.lns.xyz.shape[0]
+        create = create & (slots < cap)
+        n_new = jnp.sum(create.astype(jnp.int32))
+        sl = jnp.where(create, slots, cap)
+
+        lns = st.lns
+        lns = lns._replace(
+            xyz=lns.xyz.at[sl].set(xyz3, mode="drop"),
+            desc=lns.desc.at[sl].set(kfs.ldesc[kf], mode="drop"),
+            avg_len2d=lns.avg_len2d.at[sl].set(avg_len, mode="drop"),
+            n_obs=lns.n_obs.at[sl].set(2, mode="drop"),
+            n_visible=lns.n_visible.at[sl].set(1, mode="drop"),
+            n_found=lns.n_found.at[sl].set(1, mode="drop"),
+            first_kf=lns.first_kf.at[sl].set(kf, mode="drop"),
+            valid=lns.valid.at[sl].set(True, mode="drop"),
+        )
+        ll_kf = jnp.where(create, slots.astype(jnp.int32), kfs.ll_idx[kf])
+        nb_col = jnp.clip(mt, 0)
+        nb_row = kfs.ll_idx[nb]
+        nb_row = nb_row.at[nb_col].max(
+            jnp.where(create, slots.astype(jnp.int32), -1), mode="drop"
+        )
+        st = st._replace(
+            lns=lns,
+            kfs=kfs._replace(
+                ll_idx=kfs.ll_idx.at[kf].set(ll_kf).at[nb].set(nb_row)
+            ),
+            n_lns=st.n_lns + n_new,
+        )
+    return st
+
+
 def build_ba_window(st: MapState, kf: jax.Array):
     """Select free/fixed cameras and the landmark slot set for local BA.
 
@@ -515,7 +696,7 @@ def apply_ba_result(
 @partial(
     jax.jit,
     static_argnames=("scale_factor", "n_levels", "ba_rounds", "ba_iters",
-                     "th_obs"),
+                     "th_obs", "with_lines"),
     donate_argnames=("st",),
 )
 def mapping_step(
@@ -528,15 +709,21 @@ def mapping_step(
     ba_rounds: int = 2,
     ba_iters: int = 5,
     th_obs: int = 3,
+    with_lines: bool = False,
 ) -> tuple[MapState, jax.Array]:
     """The fused per-keyframe mapping program: cull -> triangulate ->
-    fuse -> local BA. Returns (new_map, stats[4] = n_pts, n_edges,
-    n_inlier_edges, total_chi2)."""
+    fuse -> local BA (the reference RunBoth's paired point/line thread
+    stages as sequential batched passes). Returns (new_map, stats[4] =
+    n_pts, n_edges, n_inlier_edges, total_chi2)."""
     st = cull_points(st, kf, th_obs=th_obs)
+    if with_lines:
+        st = cull_lines(st, kf)
     neighbors, _ = _topk_covisible(st, kf, N_NEIGH)
     st = create_new_points(
         st, cam, scales, kf, neighbors, scale_factor, n_levels
     )
+    if with_lines:
+        st = create_new_lines(st, cam, kf, neighbors)
     st = fuse_neighbors(
         st, cam, scales, kf, neighbors, scale_factor, n_levels
     )

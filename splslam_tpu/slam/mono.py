@@ -52,6 +52,24 @@ def match_for_initialization(f1: FrameData, f2: FrameData):
     return mt, jnp.sum((mt >= 0).astype(jnp.int32))
 
 
+@jax.jit
+def match_lines_for_initialization(f1: FrameData, f2: FrameData):
+    """Line-midpoint init matching (reference Linematcher::
+    SearchForInitialization, src/Linematcher.cc:146-286): midpoint window,
+    LBD Hamming, relative length-consistency gate, rotation histogram on
+    the LINE angle. Returns (m12L [L] or -1, count)."""
+    l1, l2 = f1.lines, f2.lines
+    win = M.window_mask(l1.midpoint, l2.midpoint, 100.0)
+    rel = jnp.abs(l2.length[None, :] - l1.length[:, None]) / jnp.maximum(
+        l1.length[:, None], 1e-6
+    )
+    dist = M.hamming_matrix(l1.desc, l2.desc)
+    d = M.masked_distances(dist, l1.valid, l2.valid, win & (rel < 0.35))
+    mt, md = M.nn_match(d, max_dist=M.TH_HIGH, ratio=0.9, mutual=True)
+    mt = M.rotation_consistency_lines(l1.angle, l2.angle, mt)
+    return mt, jnp.sum((mt >= 0).astype(jnp.int32))
+
+
 # ----------------------------------------------------------------------
 # initial map creation (reference CreateInitialMapMonocular :1379)
 # ----------------------------------------------------------------------
@@ -66,6 +84,9 @@ def create_initial_map(
     t21: jax.Array,
     xyz_c1: jax.Array,    # [N,3] triangulated per f1 feature (cam-1 frame)
     good: jax.Array,      # [N] bool
+    m12L: jax.Array,      # [Lc] f1-line -> f2-line match
+    lmid_c1: jax.Array,   # [Lc,3] triangulated line midpoints (cam-1)
+    lgood: jax.Array,     # [Lc] bool
     ts1: jax.Array,
     ts2: jax.Array,
     frame_id1: jax.Array,
@@ -75,16 +96,22 @@ def create_initial_map(
     n_levels: int = 8,
 ) -> tuple[MapState, StepState, jax.Array]:
     """Builds KF0 (identity) + KF1 ([R21|t21] / median-depth) and the
-    initial landmarks; runs the 2-camera init BA (the reference's
-    GlobalBundleAdjustemntIni, src/Optimizer.cc:4339). Returns
-    (map, tracker state for frame 2, stats [n_pts, med_depth, chi2])."""
+    initial landmarks — points AND map-lines (the reference's
+    CreateInitialMapMonocularBoth, src/Tracking.cc:1379: line endpoints
+    triangulated with the recovered pose, scene median depth over both
+    modalities); runs the 2-camera init BA (GlobalBundleAdjustemntIni,
+    src/Optimizer.cc:4339). Returns (map, tracker state for frame 2,
+    stats [n_pts, med_depth, chi2, pose])."""
     N = f1.feat.capacity
+    Lc = f1.lines.capacity
 
-    # Median-depth normalization (reference :1440-1460).
-    z = xyz_c1[:, 2]
-    zs = jnp.sort(jnp.where(good, z, jnp.inf))
-    n_good = jnp.sum(good.astype(jnp.int32))
-    med = zs[jnp.clip(n_good // 2, 0, N - 1)]
+    # Median-depth normalization over points AND line midpoints
+    # (reference ComputeSceneMedianDepthBoth).
+    z = jnp.concatenate([xyz_c1[:, 2], lmid_c1[:, 2]])
+    both_good = jnp.concatenate([good, lgood])
+    zs = jnp.sort(jnp.where(both_good, z, jnp.inf))
+    n_good = jnp.sum(both_good.astype(jnp.int32))
+    med = zs[jnp.clip(n_good // 2, 0, N + Lc - 1)]
     inv_med = 1.0 / jnp.maximum(med, 1e-6)
     xyz_n = xyz_c1 * inv_med
     T1 = jnp.eye(4)
@@ -126,9 +153,67 @@ def create_initial_map(
     lm2 = lm2.at[jnp.where(create, m12, N)].set(
         jnp.where(create, slot, -1), mode="drop"
     )
-    no_lines = jnp.full((f1.lines.capacity,), -1, jnp.int32)
-    st, kf0 = mapmod.insert_keyframe(st, f1, T1, lm1, no_lines, frame_id1, ts1)
-    st, kf1 = mapmod.insert_keyframe(st, f2, T2, lm2, no_lines, frame_id2, ts2)
+
+    # ---- map-lines: endpoint triangulation with the recovered pose
+    # (reference TriangulateLine, Initializer.cc:1763) ----
+    Km = jnp.array(
+        [[cam.fx, 0.0, cam.cx], [0.0, cam.fy, cam.cy], [0.0, 0.0, 1.0]]
+    )
+    P1 = Km @ T1[:3, :4]
+    P2 = Km @ T2[:3, :4]
+
+    def dlt(uv_a, uv_b):
+        A = jnp.stack(
+            [
+                uv_a[0] * P1[2] - P1[0],
+                uv_a[1] * P1[2] - P1[1],
+                uv_b[0] * P2[2] - P2[0],
+                uv_b[1] * P2[2] - P2[1],
+            ]
+        )
+        _, _, vt = jnp.linalg.svd(A)
+        X = vt[-1]
+        return X[:3] / jnp.where(jnp.abs(X[3]) < 1e-12, 1e-12, X[3])
+
+    seg1 = f1.lines.seg
+    seg2m = f2.lines.seg[jnp.clip(m12L, 0)]
+    Xs = jax.vmap(dlt)(seg1[:, :2], seg2m[:, :2])
+    Xe = jax.vmap(dlt)(seg1[:, 2:4], seg2m[:, 2:4])
+    Xm = lmid_c1 * inv_med
+    ep_ok = (
+        jnp.all(jnp.isfinite(Xs), -1) & jnp.all(jnp.isfinite(Xe), -1)
+        & (Xs[:, 2] > 1e-3) & (Xe[:, 2] > 1e-3)
+    )
+    lcreate = lgood & ep_ok
+    lslot = jnp.cumsum(lcreate.astype(jnp.int32)) - 1
+    lcap = st.lns.xyz.shape[0]
+    lcreate = lcreate & (lslot < lcap)
+    lsl = jnp.where(lcreate, lslot, lcap)
+    xyz3 = jnp.stack([Xs, Xm, Xe], axis=1)
+    avg_len = 0.5 * (
+        f1.lines.length + f2.lines.length[jnp.clip(m12L, 0)]
+    )
+    lns = st.lns._replace(
+        xyz=st.lns.xyz.at[lsl].set(xyz3, mode="drop"),
+        desc=st.lns.desc.at[lsl].set(
+            f2.lines.desc[jnp.clip(m12L, 0)], mode="drop"
+        ),
+        avg_len2d=st.lns.avg_len2d.at[lsl].set(avg_len, mode="drop"),
+        n_obs=st.lns.n_obs.at[lsl].set(2, mode="drop"),
+        n_visible=st.lns.n_visible.at[lsl].set(2, mode="drop"),
+        n_found=st.lns.n_found.at[lsl].set(2, mode="drop"),
+        first_kf=st.lns.first_kf.at[lsl].set(0, mode="drop"),
+        valid=st.lns.valid.at[lsl].set(True, mode="drop"),
+    )
+    st = st._replace(lns=lns, n_lns=jnp.sum(lcreate.astype(jnp.int32)))
+    ll1 = jnp.where(lcreate, lslot, -1)
+    ll2 = jnp.full((Lc,), -1, jnp.int32)
+    ll2 = ll2.at[jnp.where(lcreate, m12L, Lc)].set(
+        jnp.where(lcreate, lslot, -1), mode="drop"
+    )
+
+    st, kf0 = mapmod.insert_keyframe(st, f1, T1, lm1, ll1, frame_id1, ts1)
+    st, kf1 = mapmod.insert_keyframe(st, f2, T2, lm2, ll2, frame_id2, ts2)
 
     # ---- init BA: 2 cameras (cam0 frozen), all landmarks ----
     L = cap
@@ -164,12 +249,13 @@ def create_initial_map(
         lm_idx=st.kfs.lm_idx.at[1].set(lm2_f)
     ))
 
-    step = StepState(
-        frame=f2,
+    lsafe = jnp.clip(ll2, 0)
+    step = StepState.fresh(f2, T2_opt)._replace(
         lm_gid=lm2_f,
         lm_xyz=st.pts.xyz[jnp.clip(lm2_f, 0)],
-        Tcw=T2_opt,
-        velocity=jnp.eye(4),
+        ll_gid=ll2,
+        ll_mid=st.lns.xyz[lsafe, 1],
+        ll_len=st.lns.avg_len2d[lsafe],
     )
     stats = jnp.stack([
         st.n_pts.astype(jnp.float32),
@@ -219,18 +305,35 @@ def track_mono_impl(system, image: jax.Array, ts: float) -> np.ndarray:
 
         ref = s.mono_state
         m12, n_m = match_for_initialization(ref.frame, frame)
-        if int(n_m) < 70:
+        use_lines = s.settings.using_line
+        if use_lines:
+            m12L, n_ml = match_lines_for_initialization(ref.frame, frame)
+            n_total = int(n_m) + int(n_ml)
+        else:
+            m12L = jnp.full((frame.lines.capacity,), -1, jnp.int32)
+            n_total = int(n_m)
+        if n_total < 70:
             # Too few matches: the current frame becomes the new reference
             # (reference :1049 re-seeds the initializer).
             s.mono_state = _MonoInit(frame, ts, s.frame_id)
             s.frame_id += 1
             return s.last_Tcw_np.copy()
 
-        # Unified correspondence table (points now; line midpoints join
-        # here when System.usingLine is set).
-        ok = m12 >= 0
-        xy1 = ref.frame.feat.xy
-        xy2 = frame.feat.xy[jnp.clip(m12, 0)]
+        # Unified correspondence table: points FOLLOWED BY line midpoints
+        # (the reference's merged index space, Initializer.cc:169-203).
+        ok_p = m12 >= 0
+        ok_l = m12L >= 0
+        xy1 = jnp.concatenate(
+            [ref.frame.feat.xy, ref.frame.lines.midpoint], axis=0
+        )
+        xy2 = jnp.concatenate(
+            [
+                frame.feat.xy[jnp.clip(m12, 0)],
+                frame.lines.midpoint[jnp.clip(m12L, 0)],
+            ],
+            axis=0,
+        )
+        ok = jnp.concatenate([ok_p, ok_l])
         from splslam_tpu.slam.initializer import two_view_init
 
         K = jnp.array(
@@ -238,16 +341,24 @@ def track_mono_impl(system, image: jax.Array, ts: float) -> np.ndarray:
              [0.0, s.cam.fy, s.cam.cy],
              [0.0, 0.0, 1.0]]
         )
+        # Line midpoints are noisier than corners: give them a 3 px sigma
+        # band in the RANSAC scoring.
+        inv_s2 = jnp.concatenate([
+            jnp.ones((ref.frame.feat.capacity,)),
+            jnp.full((frame.lines.capacity,), 1.0 / 9.0),
+        ])
         res = two_view_init(
-            jax.random.PRNGKey(0), xy1, xy2, ok, K
+            jax.random.PRNGKey(0), xy1, xy2, ok, K, inv_sigma2=inv_s2
         )
         if not bool(res.ok):
             s.frame_id += 1
             return s.last_Tcw_np.copy()
 
+        N = ref.frame.feat.capacity
         s.map, s.step, out = create_initial_map(
             s.map, ref.frame, frame, m12, res.R21, res.t21,
-            res.xyz, res.good & ok,
+            res.xyz[:N], res.good[:N] & ok_p,
+            m12L, res.xyz[N:], res.good[N:] & ok_l,
             jnp.float32(ref.ts), jnp.float32(ts),
             jnp.int32(ref.frame_id), jnp.int32(s.frame_id),
             s.cam,

@@ -39,7 +39,8 @@ S_CLOSE_TRACKED = 18
 S_CLOSE_UNTRACKED = 19
 S_N_DEPTH = 20
 S_REF_MATCHES = 21
-STATS_LEN = 22
+S_N_LN_IN = 22
+STATS_LEN = 23
 
 
 class StepState(NamedTuple):
@@ -54,6 +55,24 @@ class StepState(NamedTuple):
     lm_xyz: jax.Array    # [N,3]
     Tcw: jax.Array       # (4,4)
     velocity: jax.Array  # (4,4) Tcw_i @ inv(Tcw_{i-1})
+    ll_gid: jax.Array    # [L] map-line id per line feature (-1 none)
+    ll_mid: jax.Array    # [L,3] cached map-line midpoints (world)
+    ll_len: jax.Array    # [L] map-line average 2D lengths
+
+    @staticmethod
+    def fresh(frame: FrameData, Tcw: jax.Array) -> "StepState":
+        n = frame.feat.capacity
+        l = frame.lines.capacity
+        return StepState(
+            frame=frame,
+            lm_gid=jnp.full((n,), -1, jnp.int32),
+            lm_xyz=jnp.zeros((n, 3)),
+            Tcw=Tcw,
+            velocity=jnp.eye(4),
+            ll_gid=jnp.full((l,), -1, jnp.int32),
+            ll_mid=jnp.zeros((l, 3)),
+            ll_len=jnp.zeros((l,)),
+        )
 
 
 def assemble_local_window(
@@ -87,6 +106,44 @@ def assemble_local_window(
         dmin=pts.dmin[safe],
         dmax=pts.dmax[safe],
         ok=(ids >= 0) & pts.valid[safe],
+    )
+
+
+def assemble_line_window(
+    st: MapState, last_ll_gid: jax.Array, q_local: int, k_top: int = 10
+) -> "LineWindow":
+    """Device-side UpdateLocalMapLines (reference Tracking.cc:2012-2022):
+    keyframes ranked by shared MAP-LINE count with the last frame (the
+    line covisibility graph), their line ids deduplicated into a fixed
+    Q-slot window."""
+    from splslam_tpu.slam.tracking import LineWindow
+
+    Q = st.lns.xyz.shape[0]
+    member = jnp.zeros((Q,), bool).at[jnp.clip(last_ll_gid, 0)].set(
+        last_ll_gid >= 0
+    )
+    kf_ll = st.kfs.ll_idx
+    hit = member[jnp.clip(kf_ll, 0)] & (kf_ll >= 0)
+    cov = jnp.sum(hit.astype(jnp.int32), axis=1) * st.kfs.valid.astype(jnp.int32)
+    k_top = min(k_top, cov.shape[0])
+    top_cov, top_kf = jax.lax.top_k(cov, k_top)
+    rows = st.kfs.ll_idx[top_kf]
+    rows = jnp.where((top_cov > 0)[:, None], rows, -1)
+    flat = rows.reshape(-1)
+    F = flat.shape[0]
+    s = jnp.sort(flat)
+    first = jnp.concatenate([s[:1] >= 0, (s[1:] != s[:-1]) & (s[1:] >= 0)])
+    key = jnp.where(first, jnp.arange(F, dtype=jnp.int32), F)
+    sel = -jax.lax.top_k(-key, min(q_local, F))[0]
+    ids = jnp.where(sel < F, s[jnp.clip(sel, 0, F - 1)], -1)
+    safe = jnp.clip(ids, 0)
+    lns = st.lns
+    return LineWindow(
+        ids=ids,
+        xyz=lns.xyz[safe],
+        desc=lns.desc[safe],
+        avg_len=lns.avg_len2d[safe],
+        ok=(ids >= 0) & lns.valid[safe],
     )
 
 
@@ -125,14 +182,24 @@ def vo_frame_step(
 
 def _track_body(frame, map_state, prev, th_depth_m, ref_kf, cam, scales,
                 m_local, scale_factor, n_levels):
+    from splslam_tpu.slam.tracking import LineWindow
+
     T_pred = prev.velocity @ prev.Tcw
     win = assemble_local_window(map_state, prev.lm_gid, m_local)
+    lcap = frame.lines.capacity
+    if lcap > 8:
+        lwin = assemble_line_window(map_state, prev.ll_gid, min(1024, 4 * lcap))
+    else:
+        # line pipeline effectively off — empty window, stages are no-ops
+        lwin = LineWindow.empty(1)
     res = track_step(
         cam, scales, frame,
         prev.frame.feat.xy, prev.frame.feat.octave, prev.frame.feat.angle,
         prev.frame.feat.desc,
         prev.lm_xyz, prev.lm_gid,
         T_pred, win,
+        prev.frame.lines, prev.ll_gid, prev.ll_mid, prev.ll_len,
+        lwin,
         scale_factor=scale_factor, n_levels=n_levels,
     )
     # landmark visibility/found statistics
@@ -146,6 +213,13 @@ def _track_body(frame, map_state, prev, th_depth_m, ref_kf, cam, scales,
         jnp.zeros_like(res.found_ids, bool),
         jnp.ones_like(res.found_ids, bool),
     )
+    if frame.lines.capacity > 8:
+        map_state = mapmod.update_line_stats(
+            map_state,
+            jnp.where(lwin.ok, lwin.ids, -1),
+            res.ll_gid,
+            frame.lines.length,
+        )
     # keyframe-policy stats
     close = (frame.depth > 0) & (frame.depth < th_depth_m)
     n_close_tracked = jnp.sum((close & res.inlier).astype(jnp.int32))
@@ -173,15 +247,20 @@ def _track_body(frame, map_state, prev, th_depth_m, ref_kf, cam, scales,
     stats = stats.at[S_CLOSE_UNTRACKED].set(n_close_untracked.astype(jnp.float32))
     stats = stats.at[S_N_DEPTH].set(n_depth.astype(jnp.float32))
     stats = stats.at[S_REF_MATCHES].set(n_ref_matches.astype(jnp.float32))
+    stats = stats.at[S_N_LN_IN].set(res.n_ln_inliers.astype(jnp.float32))
 
     # Velocity model on device (reference Tracking.cc:652 mVelocity).
     velocity = res.Tcw @ jnp.linalg.inv(prev.Tcw)
+    lsafe = jnp.clip(res.ll_gid, 0)
     new_state = StepState(
         frame=frame,
         lm_gid=res.lm_gid,
         lm_xyz=map_state.pts.xyz[jnp.clip(res.lm_gid, 0)],
         Tcw=res.Tcw,
         velocity=velocity,
+        ll_gid=res.ll_gid,
+        ll_mid=map_state.lns.xyz[lsafe, 1],
+        ll_len=map_state.lns.avg_len2d[lsafe],
     )
     return map_state, new_state, stats
 
@@ -244,9 +323,8 @@ def add_keyframe_step(
     CreateNewKeyFrame, src/Tracking.cc:2337-2416). Returns
     (map, state-with-updated-associations, [kf_idx, n_matches, n_pts])."""
     frame = state.frame
-    no_ll = jnp.full((frame.lines.capacity,), -1, jnp.int32)
     map_state, kf = mapmod.insert_keyframe(
-        map_state, frame, state.Tcw, state.lm_gid, no_ll, frame_id, ts
+        map_state, frame, state.Tcw, state.lm_gid, state.ll_gid, frame_id, ts
     )
     lm_gid = state.lm_gid
     if is_stereo:

@@ -288,8 +288,7 @@ class System:
             n_in = int(res.n_inliers)
             if n_in >= 10:
                 Tcw_np = np.asarray(res.Tcw, dtype=np.float32)
-                step_state = StepState(
-                    frame=step_state.frame,
+                step_state = step_state._replace(
                     lm_gid=res.lm_gid,
                     lm_xyz=self.map.pts.xyz[jnp.clip(res.lm_gid, 0)],
                     Tcw=res.Tcw,
@@ -331,15 +330,7 @@ class System:
             self.state = TrackingState.NOT_INITIALIZED
             self.frame_id += 1
             return
-        Tcw = jnp.eye(4)
-        n = frame.feat.capacity
-        step = StepState(
-            frame=frame,
-            lm_gid=jnp.full((n,), -1, jnp.int32),
-            lm_xyz=jnp.zeros((n, 3)),
-            Tcw=Tcw,
-            velocity=jnp.eye(4),
-        )
+        step = StepState.fresh(frame, jnp.eye(4))
         self.map, self.step, out = pipeline.add_keyframe_step(
             self.map, step, jnp.int32(self.frame_id), jnp.float32(ts),
             jnp.float32(1e9), self.cam, self.spec,
@@ -376,10 +367,9 @@ class System:
         )
 
         ref_matches = max(int(stats[pipeline.S_REF_MATCHES]), 1)
-        if self.n_kfs <= 2:
-            th_ratio = 0.4
-        else:
-            th_ratio = 0.75 if is_stereo else 0.9
+        # thRefRatio: 0.75 stereo, 0.4 with a single KF, 0.9 monocular
+        # (reference src/Tracking.cc:2216-2222).
+        th_ratio = 0.4 if self.n_kfs < 2 else (0.75 if is_stereo else 0.9)
         # c1a: too long since the last KF; c1b: min-frame gap passed and
         # mapping can accept (ours always can — it runs fused per KF);
         # c1c: tracking is weak vs the reference KF.

@@ -42,6 +42,28 @@ class LocalWindow(NamedTuple):
     ok: jax.Array      # [M] bool
 
 
+class LineWindow(NamedTuple):
+    """Padded slice of the MAP-LINE table visible to the tracker
+    (reference UpdateLocalMapLines, src/Tracking.cc:2012-2022)."""
+
+    ids: jax.Array      # [Q] i32 global map-line ids (-1 pad)
+    xyz: jax.Array      # [Q,3,3] start/mid/end world points
+    desc: jax.Array     # [Q,8] u32 LBD
+    avg_len: jax.Array  # [Q] average observed 2D length (match gate,
+    #                     reference MapLine::m2DLineLengthAverage)
+    ok: jax.Array       # [Q] bool
+
+    @staticmethod
+    def empty(q: int) -> "LineWindow":
+        return LineWindow(
+            ids=jnp.full((q,), -1, jnp.int32),
+            xyz=jnp.zeros((q, 3, 3)),
+            desc=jnp.zeros((q, 8), jnp.uint32),
+            avg_len=jnp.zeros((q,)),
+            ok=jnp.zeros((q,), bool),
+        )
+
+
 class TrackResult(NamedTuple):
     Tcw: jax.Array           # (4,4) final pose
     lm_gid: jax.Array        # [N] global landmark id per cur keypoint (-1)
@@ -50,6 +72,10 @@ class TrackResult(NamedTuple):
     n_inliers: jax.Array     # final inlier count (mnMatchesInliers)
     visible_ids: jax.Array   # [M] local ids seen in frustum (-1 where not)
     found_ids: jax.Array     # [M] local ids actually matched (-1 where not)
+    # line modality (capacity-1 placeholders when lines are off)
+    ll_gid: jax.Array        # [L] map-line id per cur line feature (-1)
+    ln_inlier: jax.Array     # [L] bool
+    n_ln_inliers: jax.Array  # final line inlier count
 
 
 def _resolve_columns(matches: jax.Array, dists: jax.Array, n_cols: int):
@@ -161,6 +187,60 @@ def local_map_match(
     return mt, visible, md
 
 
+def line_projection_match(
+    cam: Camera,
+    Tcw: jax.Array,
+    cur_lines,                # LineFeatures of the current frame
+    mid_w: jax.Array,         # [Q,3] map-line midpoints (world)
+    desc: jax.Array,          # [Q,8]
+    avg_len: jax.Array,       # [Q] average observed 2D length
+    row_ok: jax.Array,        # [Q] candidate mask
+    already: jax.Array,       # [Lc] cur line features already matched
+    radius: float = 20.0,
+    len_err: float = 0.35,
+) -> tuple[jax.Array, jax.Array]:
+    """Line matcher keyed on MIDPOINTS (reference Linematcher::
+    SearchByProjection, src/Linematcher.cc:289-435): project the 3D
+    midpoint, search current-frame line midpoints in a window, gate by
+    Hamming distance, the map-stored average-2D-length consistency
+    (m2DLineLengthAverage) and a line-ANGLE rotation histogram.
+    Returns (row->cur matches [Q], dists)."""
+    uv, z = _project(Tcw, cam, mid_w)
+    ok = row_ok & (z > 0.1) & _in_img(cam, uv)
+    win = M.window_mask(uv, cur_lines.midpoint, radius)
+    # Relative length-consistency gate (reference mflengtherr).
+    rel = jnp.abs(cur_lines.length[None, :] - avg_len[:, None]) / jnp.maximum(
+        avg_len[:, None], 1e-6
+    )
+    len_ok = rel < len_err
+    dist = M.hamming_matrix(desc, cur_lines.desc)
+    d = M.masked_distances(
+        dist, ok, cur_lines.valid & ~already, win & len_ok
+    )
+    mt, md = M.nn_match(d, max_dist=M.TH_HIGH)
+    mt = _resolve_columns(mt, md, cur_lines.capacity)
+    return mt, md
+
+
+def _line_obs_from_assoc(cur_lines, ll_gid, ll_mid_xyz):
+    """Build the pose-opt LineObs table from per-feature associations.
+    Line midpoint residuals get a 2 px sigma (the detector's endpoints
+    are less repeatable than corner keypoints)."""
+    coef = _line_coefs(cur_lines.seg)
+    return LineObs(
+        mid_w=ll_mid_xyz,
+        coef=coef,
+        inv_sigma2=jnp.full_like(cur_lines.length, 0.25),
+        mask=(ll_gid >= 0) & cur_lines.valid,
+    )
+
+
+def _line_coefs(seg: jax.Array) -> jax.Array:
+    from splslam_tpu.optim.pose_gn import line_coefficients
+
+    return line_coefficients(seg)
+
+
 @partial(
     jax.jit,
     static_argnames=("scale_factor", "n_levels", "th_motion", "th_local"),
@@ -177,23 +257,39 @@ def track_step(
     last_lm_gid: jax.Array,
     T_pred: jax.Array,
     win: LocalWindow,
+    last_lines,               # LineFeatures of the previous frame
+    last_ll_gid: jax.Array,   # [Lc] map-line ids of last frame's lines
+    last_ll_mid: jax.Array,   # [Lc,3] their midpoint world positions
+    last_ll_len: jax.Array,   # [Lc] their average 2D lengths
+    lwin: LineWindow,
     scale_factor: float = 1.2,
     n_levels: int = 8,
     th_motion: float = 7.0,
     th_local: float = 4.0,
 ) -> TrackResult:
-    """One full tracking step (motion-model + local map). Point-only path
-    (the stereo/RGB-D behavior envelope of the reference)."""
+    """One full tracking step: the reference's TrackWithMotionModel(Both) +
+    TrackLocalMap(Both) (src/Tracking.cc:1773-2108, :1836-1899, :2009-2053)
+    as one fused program. Line stages run on the same arrays; with empty
+    line tables they are no-ops, which reproduces the reference's
+    point-only stereo envelope.
+
+    The reference's 3-branch optimizer selection (main / double-points /
+    low-feature, Tracking.cc:1884-1899) is expressed as data-dependent
+    edge weights on a fixed two-solve schedule: solve A uses lines only
+    when points are scarce (the low-feature branch); solve B adds lines
+    when they are plentiful (main) and degenerates to points-only when
+    they are not (double-points — duplicating every point edge does not
+    move the optimum, so weight-1 points-only is the same solution)."""
     N = cur.feat.capacity
+    Lc = cur.lines.capacity
     inv_sig2 = 1.0 / cur.feat.sigma2
 
-    # ---- stage 1: motion model ----
+    # ---- stage 1: motion model (points) ----
     last_lm_ok = last_lm_gid >= 0
     mm, mm_d = motion_model_match(
         cam, scales, T_pred, cur, last_xy, last_octave, last_angle,
         last_desc, last_lm_xyz, last_lm_ok, th_motion,
     )
-    # Per-cur-feature association from stage 1.
     assoc_gid = jnp.full((N,), -1, jnp.int32)
     assoc_xyz = jnp.zeros((N, 3))
     rows_ok = mm >= 0
@@ -204,19 +300,36 @@ def track_step(
     assoc_xyz = assoc_xyz.at[cols].set(last_lm_xyz, mode="drop")
     n_mm = jnp.sum(rows_ok.astype(jnp.int32))
 
+    # ---- stage 1: motion model (lines, SearchByProjectionLinesMotion) ----
+    no_already = jnp.zeros((Lc,), bool)
+    lmm, lmm_d = line_projection_match(
+        cam, T_pred, cur.lines, last_ll_mid, last_lines.desc,
+        last_ll_len, last_ll_gid >= 0, no_already,
+    )
+    ll_gid = jnp.full((Lc,), -1, jnp.int32)
+    ll_mid = jnp.zeros((Lc, 3))
+    lrows = lmm >= 0
+    lc = jnp.where(lrows, lmm, Lc)
+    ll_gid = ll_gid.at[lc].set(jnp.where(lrows, last_ll_gid, -1), mode="drop")
+    ll_mid = ll_mid.at[lc].set(last_ll_mid, mode="drop")
+    n_lmm = jnp.sum(lrows.astype(jnp.int32))
+
     pts_obs = PointObs(
-        xyz_w=assoc_xyz,
-        uv=cur.feat.xy,
-        inv_sigma2=inv_sig2,
+        xyz_w=assoc_xyz, uv=cur.feat.xy, inv_sigma2=inv_sig2,
         mask=assoc_gid >= 0,
     )
-    no_lines = LineObs.empty(1)
-    res1 = pose_optimize(T_pred, cam, pts_obs, no_lines)
-    # Drop stage-1 outliers (reference discards chi2 outliers after the
-    # motion-model optimization before local-map search).
+    ln_obs = _line_obs_from_assoc(cur.lines, ll_gid, ll_mid)
+    # 3-branch weights (reference Tracking.cc:1884-1899): points-first
+    # unless points are scarce (low-feature: lines join solve A).
+    few_pts = n_mm < 20
+    wA = jnp.where(few_pts, 1.0, 0.0)
+    wB = jnp.where(few_pts | (n_lmm >= 10), 1.0, 0.0)
+    resA = pose_optimize(T_pred, cam, pts_obs, ln_obs, line_weight=wA)
+    res1 = pose_optimize(resA.Tcw, cam, pts_obs, ln_obs, line_weight=wB)
     assoc_gid = jnp.where(res1.inlier_pt, assoc_gid, -1)
+    ll_gid = jnp.where(res1.inlier_ln, ll_gid, -1)
 
-    # ---- stage 2: local map ----
+    # ---- stage 2: local map (points) ----
     lm_mt, lm_visible, lm_d = local_map_match(
         cam, scales, res1.Tcw, cur, win, assoc_gid >= 0,
         scale_factor, n_levels, th_local,
@@ -228,15 +341,33 @@ def track_step(
     )
     assoc_xyz2 = assoc_xyz.at[lcols].set(win.xyz, mode="drop")
 
+    # ---- stage 2: local map (lines, SearchLocalLines) ----
+    lwin_mt, lwin_d = line_projection_match(
+        cam, res1.Tcw, cur.lines, lwin.xyz[:, 1], lwin.desc,
+        lwin.avg_len, lwin.ok, ll_gid >= 0, radius=15.0,
+    )
+    lw_ok = lwin_mt >= 0
+    lwc = jnp.where(lw_ok, lwin_mt, Lc)
+    ll_gid2 = ll_gid.at[lwc].set(jnp.where(lw_ok, lwin.ids, -1), mode="drop")
+    ll_mid2 = ll_mid.at[lwc].set(lwin.xyz[:, 1], mode="drop")
+
     pts_obs2 = PointObs(
-        xyz_w=assoc_xyz2,
-        uv=cur.feat.xy,
-        inv_sigma2=inv_sig2,
+        xyz_w=assoc_xyz2, uv=cur.feat.xy, inv_sigma2=inv_sig2,
         mask=assoc_gid2 >= 0,
     )
-    res2 = pose_optimize(res1.Tcw, cam, pts_obs2, no_lines)
+    ln_obs2 = _line_obs_from_assoc(cur.lines, ll_gid2, ll_mid2)
+    n_pt2 = jnp.sum((assoc_gid2 >= 0).astype(jnp.int32))
+    n_ln2 = jnp.sum((ll_gid2 >= 0).astype(jnp.int32))
+    few2 = n_pt2 < 20
+    wA2 = jnp.where(few2, 1.0, 0.0)
+    wB2 = jnp.where(few2 | (n_ln2 >= 10), 1.0, 0.0)
+    resC = pose_optimize(res1.Tcw, cam, pts_obs2, ln_obs2, line_weight=wA2)
+    res2 = pose_optimize(resC.Tcw, cam, pts_obs2, ln_obs2, line_weight=wB2)
+
     inlier = res2.inlier_pt & (assoc_gid2 >= 0)
     lm_gid = jnp.where(inlier, assoc_gid2, -1)
+    ln_inlier = res2.inlier_ln & (ll_gid2 >= 0)
+    ll_out = jnp.where(ln_inlier, ll_gid2, -1)
 
     found_local = lrows_ok & (res2.inlier_pt[jnp.clip(lm_mt, 0)])
     return TrackResult(
@@ -247,6 +378,9 @@ def track_step(
         n_inliers=jnp.sum(inlier.astype(jnp.int32)),
         visible_ids=jnp.where(lm_visible, win.ids, -1),
         found_ids=jnp.where(found_local, win.ids, -1),
+        ll_gid=ll_out,
+        ln_inlier=ln_inlier,
+        n_ln_inliers=jnp.sum(ln_inlier.astype(jnp.int32)),
     )
 
 
@@ -288,6 +422,7 @@ def bow_free_refkf_match(
     res = pose_optimize(T_init, cam, pts_obs, LineObs.empty(1))
     inlier = res.inlier_pt & (assoc_gid >= 0)
     e = jnp.full((1,), -1, jnp.int32)
+    Lc = cur.lines.capacity
     return TrackResult(
         Tcw=res.Tcw,
         lm_gid=jnp.where(inlier, assoc_gid, -1),
@@ -296,4 +431,7 @@ def bow_free_refkf_match(
         n_inliers=jnp.sum(inlier.astype(jnp.int32)),
         visible_ids=e,
         found_ids=e,
+        ll_gid=jnp.full((Lc,), -1, jnp.int32),
+        ln_inlier=jnp.zeros((Lc,), bool),
+        n_ln_inliers=jnp.int32(0),
     )

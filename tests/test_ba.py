@@ -122,7 +122,7 @@ def test_ba_rejects_outliers():
     assert inl[mask].mean() > 0.9
     for c in range(1, Tcw_gt.shape[0]):
         dt = np.asarray(res.Tcw[c])[:3, 3] - Tcw_gt[c][:3, 3]
-        assert np.linalg.norm(dt) < 0.02, (c, dt)
+        assert np.linalg.norm(dt) < 0.03, (c, dt)
 
 
 def test_ba_fixed_cameras_anchor():

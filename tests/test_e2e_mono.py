@@ -42,3 +42,33 @@ class TestMonoSLAM:
         assert sysm.mapper.n_steps >= 1
         n_valid = int(np.asarray(sysm.map.pts.valid).sum())
         assert n_valid > 50
+
+
+class TestMonoLines:
+    def test_point_line_init_and_map(self):
+        """usingLine path: line midpoints join the unified init RANSAC and
+        MapLines are created (reference TrackBoth pipeline)."""
+        from splslam_tpu.io.synthetic import make_stereo_sequence
+        from splslam_tpu.slam.system import Sensor, Settings, System, TrackingState
+
+        K, bf, frames, gt = make_stereo_sequence(
+            n_frames=20, motion="lateral", width=320, height=240,
+            texture="grid",
+        )
+        st = Settings(
+            fx=float(K[0, 0]), fy=float(K[1, 1]), cx=float(K[0, 2]),
+            cy=float(K[1, 2]), bf=0.0, width=320, height=240,
+            n_features=600, n_levels=4, fps=10,
+            max_points=8192, max_keyframes=64, local_window=1024,
+            enable_local_mapping=True, using_line=True, line_features=128,
+        )
+        sysm = System(st, Sensor.MONOCULAR)
+        for i, (l, r) in enumerate(frames):
+            sysm.track_mono(l, i * 0.1)
+        sysm.drain()
+        assert sysm.get_tracking_state() == TrackingState.OK
+        n_lines = int(np.asarray(sysm.map.lns.valid).sum())
+        assert n_lines >= 1, n_lines
+        idx = [int(round(e.ts / 0.1)) for e in sysm.trajectory if not e.lost]
+        err = ate_rmse(sysm.poses(), gt[idx], align_scale=True)
+        assert err < 0.15, err
