@@ -54,6 +54,22 @@ def hamming_matrix_mxu(d1: jax.Array, d2: jax.Array) -> jax.Array:
 hamming_matrix = hamming_matrix_mxu
 
 
+def hamming_from_bits(b1: jax.Array, b2: jax.Array) -> jax.Array:
+    """All-pairs Hamming from cached +-1 bf16 bit planes: one matmul,
+    no unpack. [N1,256]x[N2,256] -> [N1,N2] i32."""
+    dot = jax.lax.dot_general(
+        b1, b2, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    return ((256.0 - dot) * 0.5).astype(jnp.int32)
+
+
+def hamming_mixed(bits1: jax.Array, desc2: jax.Array) -> jax.Array:
+    """Cached bit planes vs packed descriptors (map tables store packed
+    only): unpack the smaller side, then one matmul."""
+    b2 = unpack_bits(desc2).astype(jnp.bfloat16) * 2.0 - 1.0
+    return hamming_from_bits(bits1, b2)
+
+
 def masked_distances(
     dist: jax.Array, valid1: jax.Array, valid2: jax.Array,
     extra_mask: jax.Array | None = None,

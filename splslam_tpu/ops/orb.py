@@ -54,6 +54,9 @@ class OrbFeatures(NamedTuple):
     sigma2: jax.Array    # [N] f32 scale^2 of the level (for chi2 gates)
     desc: jax.Array      # [N, 8] uint32 packed 256-bit descriptors
     valid: jax.Array     # [N] bool
+    bits: jax.Array      # [N,256] bf16 +-1 bit planes — the MXU-ready
+    #                      form of `desc`, cached at extraction so every
+    #                      matcher skips the unpack (Hamming = matmul)
 
     @property
     def capacity(self) -> int:
@@ -91,8 +94,38 @@ def ic_angle(image: jax.Array, xy_int: jax.Array) -> jax.Array:
     return jnp.arctan2(m01, m10)
 
 
-def rbrief(blurred: jax.Array, xy_int: jax.Array, angle: jax.Array) -> jax.Array:
-    """Rotated BRIEF descriptors: (N,2) int coords + (N,) angle -> (N,8) u32."""
+def ic_angle_dense(image: jax.Array, xy_int: jax.Array) -> jax.Array:
+    """Conv-based IC angle: the circular moment sums m10/m01 are fixed
+    31x31 convolutions of the image — MXU work instead of a 961-tap
+    gather per keypoint. Only 2 scalars per keypoint are gathered."""
+    r = HALF_PATCH
+    dy, dx = jnp.meshgrid(
+        jnp.arange(-r, r + 1, dtype=jnp.float32),
+        jnp.arange(-r, r + 1, dtype=jnp.float32),
+        indexing="ij",
+    )
+    circle = ((dy * dy + dx * dx) <= r * r).astype(jnp.float32)
+    # lax.conv_general_dilated is cross-correlation (no kernel flip), so
+    # the moment kernels are used as-is.
+    kx = dx * circle
+    ky = dy * circle
+    k = jnp.stack([kx, ky])[:, None]  # [2,1,31,31]
+    m = jax.lax.conv_general_dilated(
+        image[None, None], k, (1, 1), [(r, r), (r, r)],
+        preferred_element_type=jnp.float32,
+    )[0]                               # [2,H,W]
+    H, W = image.shape
+    flat_idx = (
+        jnp.clip(xy_int[:, 1], 0, H - 1) * W + jnp.clip(xy_int[:, 0], 0, W - 1)
+    )
+    m10 = jnp.take(m[0].reshape(-1), flat_idx)
+    m01 = jnp.take(m[1].reshape(-1), flat_idx)
+    return jnp.arctan2(m01, m10)
+
+
+def rbrief(blurred: jax.Array, xy_int: jax.Array, angle: jax.Array):
+    """Rotated BRIEF descriptors: (N,2) int coords + (N,) angle ->
+    ((N,8) u32 packed, (N,256) bf16 +-1 bit planes)."""
     pat = jnp.asarray(_PATTERN, jnp.float32)  # [256,4]
     ca, sa = jnp.cos(angle), jnp.sin(angle)   # [N]
     # Rotate both test points of every pair (steered BRIEF, reference :431).
@@ -116,7 +149,9 @@ def rbrief(blurred: jax.Array, xy_int: jax.Array, angle: jax.Array) -> jax.Array
     bits = (v1 < v2).astype(jnp.uint32)  # [N,256]
     words = bits.reshape(-1, N_WORDS, 32)
     shifts = jnp.arange(32, dtype=jnp.uint32)
-    return jnp.sum(words << shifts[None, None, :], axis=-1)
+    packed = jnp.sum(words << shifts[None, None, :], axis=-1)
+    pm1 = (bits.astype(jnp.bfloat16) * 2.0 - 1.0)
+    return packed, pm1
 
 
 @partial(jax.jit, static_argnames=("spec", "threshold", "cell", "cell_k"))
@@ -148,9 +183,9 @@ def extract_orb(
         score = jnp.where(inside, score, 0.0)
         xy, resp, valid = grid_topk(score, budget, cell=cell, cell_k=cell_k)
         xy_int = xy.astype(jnp.int32)
-        ang = ic_angle(img, xy_int)
+        ang = ic_angle_dense(img, xy_int)
         blurred = gaussian_blur(img)
-        desc = rbrief(blurred, xy_int, ang)
+        desc, bits = rbrief(blurred, xy_int, ang)
         s = spec.scales[lv]
         outs.append(
             OrbFeatures(
@@ -161,6 +196,7 @@ def extract_orb(
                 sigma2=jnp.full((budget,), spec.sigma2[lv], jnp.float32),
                 desc=desc,
                 valid=valid,
+                bits=bits,
             )
         )
     return OrbFeatures(*[jnp.concatenate(xs, axis=0) for xs in zip(*outs)])

@@ -19,7 +19,7 @@ import jax.numpy as jnp
 
 from splslam_tpu.ops.match import (
     TH_HIGH,
-    hamming_matrix,
+    hamming_from_bits,
     masked_distances,
     nn_match,
     octave_mask,
@@ -78,7 +78,7 @@ def stereo_match(
     valid stereo match (the reference's mvuRight/mvDepth convention,
     include/Frame.h:161).
     """
-    dist = hamming_matrix(featL.desc, featR.desc)
+    dist = hamming_from_bits(featL.bits, featR.bits)
 
     sL = scales[featL.octave]  # [NL]
     sR = scales[featR.octave]  # [NR]
@@ -97,7 +97,11 @@ def stereo_match(
     # ---- SSD subpixel refinement around the matched right keypoint ----
     # Sample both patches from the full-res images with spacing = octave
     # scale (equivalent to working on the pyramid level, without the
-    # data-dependent choice among level buffers).
+    # data-dependent choice among level buffers). Latency engineering:
+    # nearest-integer sampling (ONE gather per tap instead of four
+    # bilinear taps — the reference also correlates integer windows on
+    # the level image, subpixel comes from the parabola fit), and the 11
+    # sliding windows come from STATIC slices of the strip, not a gather.
     s = sL  # [N]
     dy = jnp.arange(-_W, _W + 1, dtype=jnp.float32)
     dxw = jnp.arange(-_W, _W + 1, dtype=jnp.float32)
@@ -107,21 +111,30 @@ def stereo_match(
     uR0 = featR.xy[bi, 0]              # [N]
     vR0 = cL[:, 1]                     # epipolar: same row
 
+    H, W = imgL.shape
+
+    def sample_int(img, xs, ys):
+        xi = jnp.clip(jnp.round(xs).astype(jnp.int32), 0, W - 1)
+        yi = jnp.clip(jnp.round(ys).astype(jnp.int32), 0, H - 1)
+        return jnp.take(img.reshape(-1), (yi * W + xi).reshape(-1)).reshape(
+            xs.shape
+        )
+
     # Left patch [N,11,11]
     lx = cL[:, 0, None, None] + s[:, None, None] * dxw[None, None, :]
     ly = cL[:, 1, None, None] + s[:, None, None] * dy[None, :, None]
-    patchL = bilinear_sample(imgL, jnp.stack([lx * jnp.ones_like(ly), ly * jnp.ones_like(lx)], axis=-1))
+    patchL = sample_int(imgL, lx + 0.0 * ly, ly + 0.0 * lx)
     # Right strip [N,11,21]
     rx = uR0[:, None, None] + s[:, None, None] * dxs[None, None, :]
     ry = vR0[:, None, None] + s[:, None, None] * dy[None, :, None]
-    strip = bilinear_sample(imgR, jnp.stack([rx * jnp.ones_like(ry), ry * jnp.ones_like(rx)], axis=-1))
+    strip = sample_int(imgR, rx + 0.0 * ry, ry + 0.0 * rx)
 
     # IC normalization: subtract the window center value (reference :989).
     patchL = patchL - patchL[:, _W, _W][:, None, None]
-    # 11 sliding windows from the 21-wide strip.
-    idx = jnp.arange(2 * _R + 1)[:, None] + jnp.arange(2 * _W + 1)[None, :]
-    wins = strip[:, :, idx]                  # [N,11,11,11] (row, shift, col)
-    wins = jnp.moveaxis(wins, 2, 1)          # [N, shift, row, col]
+    # 11 sliding windows from the 21-wide strip via static slices.
+    wins = jnp.stack(
+        [strip[:, :, k:k + 2 * _W + 1] for k in range(2 * _R + 1)], axis=1
+    )                                        # [N, shift, row, col]
     wins = wins - wins[:, :, _W, _W][:, :, None, None]
     ssd = jnp.sum((wins - patchL[:, None]) ** 2, axis=(2, 3))  # [N,11]
 

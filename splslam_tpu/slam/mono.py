@@ -43,7 +43,7 @@ def match_for_initialization(f1: FrameData, f2: FrameData):
     lvl1 = f1.feat.octave == 0
     lvl2 = f2.feat.octave == 0
     win = M.window_mask(f1.feat.xy, f2.feat.xy, 100.0)
-    dist = M.hamming_matrix(f1.feat.desc, f2.feat.desc)
+    dist = M.hamming_from_bits(f1.feat.bits, f2.feat.bits)
     d = M.masked_distances(
         dist, f1.feat.valid & lvl1, f2.feat.valid & lvl2, win
     )
@@ -379,6 +379,8 @@ def track_mono_impl(system, image: jax.Array, ts: float) -> np.ndarray:
         # Log both bootstrap frames.
         s._log_frame(ref.ts, np.eye(4, dtype=np.float32), lost=False)
         s._log_frame(ts, T2, lost=False)
+        s._register_kf_bow(0, ref.frame)
+        s._register_kf_bow(1, frame)
         s.mono_state = None
         s.frame_id += 1
         s.mapper.big_change_idx += 1

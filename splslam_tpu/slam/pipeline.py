@@ -195,7 +195,7 @@ def _track_body(frame, map_state, prev, th_depth_m, ref_kf, cam, scales,
     res = track_step(
         cam, scales, frame,
         prev.frame.feat.xy, prev.frame.feat.octave, prev.frame.feat.angle,
-        prev.frame.feat.desc,
+        prev.frame.feat.bits,
         prev.lm_xyz, prev.lm_gid,
         T_pred, win,
         prev.frame.lines, prev.ll_gid, prev.ll_mid, prev.ll_len,

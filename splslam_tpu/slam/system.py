@@ -20,11 +20,32 @@ final keyframe poses on save — src/System.cc:369-395).
 from __future__ import annotations
 
 import enum
+import os
 from collections import deque
 from dataclasses import dataclass
 
+import jax
 import jax.numpy as jnp
 import numpy as np
+
+_VOCAB_CACHE: dict = {}
+
+
+def _load_vocab(path: str | None):
+    """Load (and cache) the BoW vocabulary; None -> bundled default."""
+    from splslam_tpu.bow import vocabulary as V
+
+    if path is None:
+        path = os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "assets", "vocab_small.npz",
+        )
+    if path not in _VOCAB_CACHE:
+        if path.endswith(".txt"):
+            _VOCAB_CACHE[path] = V.load_orbslam_txt(path)
+        else:
+            _VOCAB_CACHE[path] = V.load(path)
+    return _VOCAB_CACHE[path]
 
 from splslam_tpu.geometry.camera import Camera
 from splslam_tpu.ops.pyramid import PyramidSpec
@@ -93,6 +114,10 @@ class Settings:
     # mapping
     enable_local_mapping: bool = True
     local_ba_window: int = 8
+    # relocalization / loop detection
+    enable_relocalization: bool = True
+    vocabulary_path: str | None = None  # None -> bundled default vocab
+    reloc_min_inliers: int = 50         # reference Tracking.cc:3049
     # minimum frame gap before a keyframe may be inserted (reference
     # mMinFrames = 0, src/Tracking.cc:62; a small positive gap amortizes
     # the mapping dispatch on the tunnel-attached chip)
@@ -142,6 +167,8 @@ class System:
             if settings.bf > 0 else 1e9
         )
         self.min_kf_gap = settings.min_kf_gap
+        self.vocab = _load_vocab(settings.vocabulary_path) \
+            if settings.enable_relocalization else None
         self._reset_runtime()
         self.mapper = LocalMapper(self)
 
@@ -167,6 +194,15 @@ class System:
         self._pending: deque = deque()       # (stats_dev, ts, step_state)
         self._pending_kf_out = None          # async keyframe-creation output
         self._th_depth_dev = jnp.float32(self.th_depth_m)
+        # keyframe BoW matrix (the KeyFrameDatabase's inverted file as a
+        # dense [K,W] score table, reference include/KeyFrameDatabase.h:66)
+        if self.vocab is not None:
+            self.kf_bow = jnp.zeros(
+                (s.max_keyframes, self.vocab.n_words), jnp.float32
+            )
+        else:
+            self.kf_bow = None
+        self._frames_lost = 0
 
     # ------------------------------------------------------------------
     # public API (reference System.h:84-128)
@@ -298,10 +334,22 @@ class System:
                 self.step = step_state
 
         if n_in < 10:
+            # Relocalization (reference Tracking.cc:2895 / :3064): BoW
+            # candidates -> PnP RANSAC -> GN refine, accept >= threshold.
+            if self.vocab is not None and self.n_kfs > 0:
+                if self._try_relocalize(step_state, ts):
+                    return
             self.state = TrackingState.LOST
+            self._frames_lost += 1
+            # Lost right after init with a tiny map: full reset
+            # (reference Tracking.cc:649-657).
+            if self.n_kfs <= 5 and self._frames_lost > 5:
+                self.reset()
+                return
             self._log_frame(ts, self.last_Tcw_np, lost=True)
             return
 
+        self._frames_lost = 0
         self.state = TrackingState.OK
 
         if not self.localization_only and self._need_new_keyframe(stats, n_in):
@@ -311,6 +359,62 @@ class System:
 
         self.last_Tcw_np = Tcw_np
         self._log_frame(ts, Tcw_np, lost=False)
+
+    def _register_kf_bow(self, kf: int, frame: FrameData):
+        """Compute and store the keyframe's BoW row (KeyFrameDatabase::add,
+        reference src/KeyFrameDatabase.cc:40)."""
+        if self.vocab is None:
+            return
+        from splslam_tpu.bow import vocabulary as V
+
+        words = V.transform_words(self.vocab, frame.feat.desc, frame.feat.valid)
+        row = V.bow_vector(self.vocab, words)
+        self.kf_bow = self.kf_bow.at[kf].set(row)
+
+    def _try_relocalize(self, step_state: StepState, ts: float) -> bool:
+        from splslam_tpu.bow import vocabulary as V
+        from splslam_tpu.slam import reloc
+
+        frame = step_state.frame
+        words = V.transform_words(self.vocab, frame.feat.desc, frame.feat.valid)
+        query = V.bow_vector(self.vocab, words)
+        scores = reloc.reloc_scores(
+            self.kf_bow, self.map.kfs.valid, query,
+            jnp.zeros((self.settings.max_keyframes,), bool),
+        )
+        order = np.argsort(np.asarray(scores))[::-1][:3]
+        kfs = self.map.kfs
+        for c in order:
+            c = int(c)
+            if c >= self.n_kfs:
+                continue
+            lm = kfs.lm_idx[c]
+            ll = kfs.ll_idx[c]
+            Tcw, n_in, lm_gid, ll_gid = reloc.reloc_attempt(
+                jax.random.PRNGKey(self.frame_id), self.cam, frame,
+                kfs.desc[c], kfs.fvalid[c], lm,
+                self.map.pts.xyz[jnp.clip(lm, 0)],
+                kfs.ldesc[c], ll,
+                self.map.lns.xyz[jnp.clip(ll, 0), 1],
+            )
+            if int(n_in) >= self.settings.reloc_min_inliers:
+                Tcw_np = np.asarray(Tcw, dtype=np.float32)
+                self.step = step_state._replace(
+                    lm_gid=lm_gid,
+                    lm_xyz=self.map.pts.xyz[jnp.clip(lm_gid, 0)],
+                    Tcw=Tcw,
+                    velocity=jnp.eye(4),
+                    ll_gid=ll_gid,
+                    ll_mid=self.map.lns.xyz[jnp.clip(ll_gid, 0), 1],
+                    ll_len=self.map.lns.avg_len2d[jnp.clip(ll_gid, 0)],
+                )
+                self.state = TrackingState.OK
+                self._frames_lost = 0
+                self.ref_kf = c
+                self.last_Tcw_np = Tcw_np
+                self._log_frame(ts, Tcw_np, lost=False)
+                return True
+        return False
 
     def _track_refkf(self, frame: FrameData):
         k = self.ref_kf
@@ -350,6 +454,7 @@ class System:
         self.last_Tcw_np = np.eye(4, dtype=np.float32)
         self._log_frame(ts, self.last_Tcw_np, lost=False)
         self.frame_id += 1
+        self._register_kf_bow(kf, frame)
         self.mapper.on_keyframe(kf)
 
     def _need_new_keyframe(self, stats: np.ndarray, n_in: int) -> bool:
@@ -403,6 +508,7 @@ class System:
         if step_state is self.step:
             self.step = new_state
         self._pending_kf_out = out
+        self._register_kf_bow(kf, step_state.frame)
         self.mapper.on_keyframe(kf)
 
     def _resolve_kf_out(self):

@@ -124,7 +124,7 @@ def motion_model_match(
     last_xy: jax.Array,
     last_octave: jax.Array,
     last_angle: jax.Array,
-    last_desc: jax.Array,
+    last_bits: jax.Array,
     last_lm_xyz: jax.Array,
     last_lm_ok: jax.Array,
     th: float,
@@ -137,7 +137,7 @@ def motion_model_match(
     radius = th * scales[last_octave]
     win = M.window_mask(uv_pred, cur.feat.xy, radius)
     oct_ok = M.octave_mask(last_octave, cur.feat.octave, -1, 1)
-    dist = M.hamming_matrix(last_desc, cur.feat.desc)
+    dist = M.hamming_from_bits(last_bits, cur.feat.bits)
     dist = M.masked_distances(dist, row_ok, cur.feat.valid, win & oct_ok)
     mt, md = M.nn_match(dist, max_dist=M.TH_HIGH)
     mt = M.rotation_consistency(last_angle, cur.feat.angle, mt)
@@ -178,7 +178,7 @@ def local_map_match(
     radius = jnp.where(viewcos > 0.998, 2.5, th) * scales[pred_oct]
     wmask = M.window_mask(uv, cur.feat.xy, radius)
     omask = M.octave_mask(pred_oct, cur.feat.octave, -1, 1)
-    dist = M.hamming_matrix(win.desc, cur.feat.desc)
+    dist = M.hamming_mixed(cur.feat.bits, win.desc).T
     dist = M.masked_distances(
         dist, visible, cur.feat.valid & ~already, wmask & omask
     )
@@ -252,7 +252,7 @@ def track_step(
     last_xy: jax.Array,
     last_octave: jax.Array,
     last_angle: jax.Array,
-    last_desc: jax.Array,
+    last_bits: jax.Array,
     last_lm_xyz: jax.Array,
     last_lm_gid: jax.Array,
     T_pred: jax.Array,
@@ -288,7 +288,7 @@ def track_step(
     last_lm_ok = last_lm_gid >= 0
     mm, mm_d = motion_model_match(
         cam, scales, T_pred, cur, last_xy, last_octave, last_angle,
-        last_desc, last_lm_xyz, last_lm_ok, th_motion,
+        last_bits, last_lm_xyz, last_lm_ok, th_motion,
     )
     assoc_gid = jnp.full((N,), -1, jnp.int32)
     assoc_xyz = jnp.zeros((N, 3))
@@ -402,7 +402,7 @@ def bow_free_refkf_match(
     to skip the restriction) followed by pose optimization."""
     N = cur.feat.capacity
     row_ok = kf_valid & (kf_lm_gid >= 0)
-    dist = M.hamming_matrix(kf_desc, cur.feat.desc)
+    dist = M.hamming_mixed(cur.feat.bits, kf_desc).T
     dist = M.masked_distances(dist, row_ok, cur.feat.valid)
     mt, md = M.nn_match(dist, max_dist=M.TH_LOW, ratio=0.7, mutual=True)
     mt = M.rotation_consistency(kf_angle, cur.feat.angle, mt)

@@ -1,0 +1,71 @@
+"""BoW vocabulary + relocalization tests (reference Tracking::
+Relocalization / KeyFrameDatabase behavior)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from splslam_tpu.bow import vocabulary as V
+from splslam_tpu.io.synthetic import make_stereo_sequence
+from splslam_tpu.slam.system import Sensor, Settings, System, TrackingState
+
+
+def test_vocab_transform_deterministic_and_discriminative():
+    rng = np.random.default_rng(0)
+    desc = rng.integers(0, 2**32, (2000, 8), dtype=np.uint32)
+    voc = V.train(desc[:1500], k=5, depth=3, seed=0)
+    w1 = V.transform_words(voc, jnp.asarray(desc[:500]), jnp.ones(500, bool))
+    w2 = V.transform_words(voc, jnp.asarray(desc[:500]), jnp.ones(500, bool))
+    np.testing.assert_array_equal(np.asarray(w1), np.asarray(w2))
+    assert int(jnp.max(w1)) < voc.n_words
+    # same descriptor set scores higher with itself than with a random set
+    v_a = V.bow_vector(voc, w1)
+    w3 = V.transform_words(voc, jnp.asarray(desc[500:1000]), jnp.ones(500, bool))
+    v_b = V.bow_vector(voc, w3)
+    assert float(V.score_l1(v_a, v_a)) > float(V.score_l1(v_a, v_b))
+
+
+def test_vocab_save_load_roundtrip(tmp_path):
+    rng = np.random.default_rng(1)
+    desc = rng.integers(0, 2**32, (800, 8), dtype=np.uint32)
+    voc = V.train(desc, k=4, depth=2, seed=0)
+    p = str(tmp_path / "voc.npz")
+    V.save(voc, p)
+    voc2 = V.load(p)
+    w1 = V.transform_words(voc, jnp.asarray(desc[:100]), jnp.ones(100, bool))
+    w2 = V.transform_words(voc2, jnp.asarray(desc[:100]), jnp.ones(100, bool))
+    np.testing.assert_array_equal(np.asarray(w1), np.asarray(w2))
+
+
+def test_relocalization_after_kidnap():
+    """Track, kidnap with featureless frames, replay a seen view ->
+    relocalize near the original pose (reference reloc experiment,
+    report pp.6-7 fr2_360_kidnap)."""
+    K, bf, frames, gt = make_stereo_sequence(
+        n_frames=15, motion="forward", width=320, height=240
+    )
+    st = Settings(
+        fx=float(K[0, 0]), fy=float(K[1, 1]), cx=float(K[0, 2]),
+        cy=float(K[1, 2]), bf=float(bf), width=320, height=240,
+        n_features=600, n_levels=4, th_depth=40.0, fps=10,
+        max_points=8192, max_keyframes=64, local_window=1024,
+        enable_local_mapping=True,
+    )
+    sysm = System(st, Sensor.STEREO)
+    for i, (l, r) in enumerate(frames):
+        sysm.track_stereo(l, r, i * 0.1)
+    sysm.drain()
+    assert sysm.state == TrackingState.OK
+
+    blank = np.full((240, 320), 128.0, np.float32)
+    for j in range(3):
+        sysm.track_stereo(blank, blank, 1.5 + j * 0.1)
+    sysm.drain()
+    assert sysm.state == TrackingState.LOST
+
+    for j in range(2):
+        sysm.track_stereo(frames[6][0], frames[6][1], 2.0 + j * 0.1)
+    sysm.drain()
+    assert sysm.state == TrackingState.OK
+    p = sysm.poses()[-1][:3, 3]
+    assert np.linalg.norm(p - gt[6][:3, 3]) < 0.05, p
