@@ -261,3 +261,146 @@ def ba_solve(
     inlier = p.e_ok & (chi2 <= chi2_gate) & z_ok
     total = jnp.sum(jnp.where(inlier, chi2, 0.0))
     return BAResult(Tcw_all, xyz_all, inlier, chi2, total)
+
+
+# ----------------------------------------------------------------------
+# Global BA: matrix-free Schur + preconditioned conjugate gradients.
+#
+# The dense cross-block tensor of `ba_solve` is O(C*L) memory — fine for
+# the local window, impossible for the full map (256 KFs x 65536 points).
+# Here the reduced camera system S = Hcc - W iHpp W^T is never formed:
+# S @ v is evaluated through the edge table with segment-sums
+#   (W^T v)_l = sum_{e: lm(e)=l}  G_e^T v_cam(e)     (G_e = Jc^T w Jp, 6x3)
+#   (W  u)_c = sum_{e: cam(e)=c} G_e  u_lm(e)
+# which also shards cleanly across devices (edges split + psum) — the
+# multi-chip global-BA path.
+# ----------------------------------------------------------------------
+@partial(jax.jit, static_argnames=("rounds", "gn_iters", "cg_iters"))
+def ba_solve_pcg(
+    cam: Camera,
+    p: BAProblem,
+    *,
+    rounds: int = 2,
+    gn_iters: int = 4,
+    cg_iters: int = 24,
+    damping: float = 1e-3,
+) -> BAResult:
+    """Global bundle adjustment (reference Optimizer::
+    GlobalBundleAdjustemnt / BundleAdjustment, src/Optimizer.cc:219-408)
+    for problems too large for the dense-Schur local solver. All camera
+    slots with cam_free=True are optimized; landmarks always are."""
+    C = p.Tcw.shape[0]
+    L = p.xyz.shape[0]
+    chi2_gate = jnp.where(p.e_ur >= 0, CHI2_STEREO, CHI2_MONO)
+    free_f = p.cam_free.astype(jnp.float32)[:, None]
+
+    def gn_step(state, active):
+        Tcw_all, xyz_all = state
+        r, J_c, J_p, chi2, z_ok = _edge_terms(Tcw_all, xyz_all, cam, p)
+        w = (
+            _huber_weight(chi2, chi2_gate)
+            * p.e_inv_sigma2
+            * (active & z_ok).astype(jnp.float32)
+        )
+        wf = w * p.cam_free[jnp.clip(p.e_cam, 0)].astype(jnp.float32)
+        # Per-edge blocks.
+        G = jnp.einsum("eik,e,eil->ekl", J_c, wf, J_p, precision=_HI)  # [E,6,3]
+        Hcc_e = jnp.einsum("eik,e,eil->ekl", J_c, wf, J_c, precision=_HI)
+        Hpp_e = jnp.einsum("eik,e,eil->ekl", J_p, w, J_p, precision=_HI)
+        g_c = jnp.einsum("eik,e,ei->ek", J_c, wf, r, precision=_HI)
+        g_p = jnp.einsum("eik,e,ei->ek", J_p, w, r, precision=_HI)
+
+        Hcc = jnp.zeros((C, 6, 6)).at[p.e_cam].add(Hcc_e, mode="drop")
+        bc = jnp.zeros((C, 6)).at[p.e_cam].add(g_c, mode="drop")
+        Hpp = jnp.zeros((L, 3, 3)).at[p.e_lm].add(Hpp_e, mode="drop")
+        bp = jnp.zeros((L, 3)).at[p.e_lm].add(g_p, mode="drop")
+
+        lm_active = p.lm_ok & (jnp.diagonal(Hpp, axis1=1, axis2=2).sum(-1) > 0)
+        dHpp = jnp.eye(3)[None] * jnp.maximum(
+            jnp.diagonal(Hpp, axis1=1, axis2=2), 1e-8
+        )[:, None, :]
+        Hpp_d = Hpp + damping * dHpp + 1e-6 * jnp.eye(3) + jnp.where(
+            lm_active, 0.0, 1.0
+        )[:, None, None] * jnp.eye(3)
+        iHpp = jnp.linalg.inv(Hpp_d)
+
+        dHcc = jnp.eye(6)[None] * jnp.maximum(
+            jnp.diagonal(Hcc, axis1=1, axis2=2), 1.0
+        )[:, None, :]
+        Hcc_d = Hcc + damping * dHcc
+
+        def S_matvec(v):
+            """v: [C,6] -> S v (free cameras; frozen rows pass through)."""
+            ve = v[p.e_cam]                                     # [E,6]
+            wt = jnp.einsum("ekl,ek->el", G, ve, precision=_HI)  # [E,3]
+            u = jnp.zeros((L, 3)).at[p.e_lm].add(wt, mode="drop")
+            u = jnp.einsum("lkm,lm->lk", iHpp, u, precision=_HI)
+            back = jnp.einsum("ekl,el->ek", G, u[p.e_lm], precision=_HI)
+            Wv = jnp.zeros((C, 6)).at[p.e_cam].add(back, mode="drop")
+            Hv = jnp.einsum("ckl,cl->ck", Hcc_d, v, precision=_HI)
+            return (Hv - Wv) * free_f + v * (1.0 - free_f)
+
+        # rhs = bc - W iHpp bp
+        u0 = jnp.einsum("lkm,lm->lk", iHpp, bp, precision=_HI)
+        back0 = jnp.einsum("ekl,el->ek", G, u0[p.e_lm], precision=_HI)
+        rhs = (bc - jnp.zeros((C, 6)).at[p.e_cam].add(back0, mode="drop"))
+        rhs = -rhs * free_f
+
+        # Jacobi-preconditioned CG on S dx = rhs.
+        diag = jnp.maximum(
+            jnp.diagonal(Hcc_d, axis1=1, axis2=2), 1e-3
+        ) * free_f + (1.0 - free_f)
+        Minv = 1.0 / diag
+
+        def cg_body(carry, _):
+            x, rvec, z, pdir, rz = carry
+            Ap = S_matvec(pdir)
+            alpha = rz / jnp.maximum(jnp.sum(pdir * Ap), 1e-12)
+            x = x + alpha * pdir
+            rvec = rvec - alpha * Ap
+            z = Minv * rvec
+            rz_new = jnp.sum(rvec * z)
+            beta = rz_new / jnp.maximum(rz, 1e-12)
+            pdir = z + beta * pdir
+            return (x, rvec, z, pdir, rz_new), None
+
+        x0 = jnp.zeros((C, 6))
+        r0 = rhs - S_matvec(x0)
+        z0 = Minv * r0
+        (dx_c, *_), _ = jax.lax.scan(
+            cg_body, (x0, r0, z0, z0, jnp.sum(r0 * z0)), None, length=cg_iters
+        )
+        ok = jnp.all(jnp.isfinite(dx_c))
+        dx_c = jnp.where(ok, dx_c, 0.0) * free_f
+
+        # Back-substitute landmarks.
+        ve = dx_c[p.e_cam]
+        wt = jnp.einsum("ekl,ek->el", G, ve, precision=_HI)
+        Wt_dxc = jnp.zeros((L, 3)).at[p.e_lm].add(wt, mode="drop")
+        dx_p = jnp.einsum("lkm,lm->lk", iHpp, -(bp + Wt_dxc), precision=_HI)
+        dx_p = jnp.where(
+            (lm_active & jnp.all(jnp.isfinite(dx_p), -1))[:, None], dx_p, 0.0
+        )
+
+        Tcw_new = jax.vmap(se3.se3_retract)(Tcw_all, dx_c)
+        return (Tcw_new, xyz_all + dx_p)
+
+    def round_body(carry, _):
+        state, active = carry
+
+        def step(st, _):
+            return gn_step(st, active), None
+
+        state, _ = jax.lax.scan(step, state, None, length=gn_iters)
+        Tcw_all, xyz_all = state
+        _, _, _, chi2, z_ok = _edge_terms(Tcw_all, xyz_all, cam, p)
+        new_active = p.e_ok & (chi2 <= chi2_gate) & z_ok
+        return ((Tcw_all, xyz_all), new_active), None
+
+    ((Tcw_all, xyz_all), active), _ = jax.lax.scan(
+        round_body, ((p.Tcw, p.xyz), p.e_ok), None, length=rounds
+    )
+    _, _, _, chi2, z_ok = _edge_terms(Tcw_all, xyz_all, cam, p)
+    inlier = p.e_ok & (chi2 <= chi2_gate) & z_ok
+    total = jnp.sum(jnp.where(inlier, chi2, 0.0))
+    return BAResult(Tcw_all, xyz_all, inlier, chi2, total)

@@ -1,0 +1,315 @@
+"""Sim(3) estimation and pose-graph optimization.
+
+Replaces the reference's Sim3Solver (src/Sim3Solver.cc: Horn closed-form
+from 3-point samples + RANSAC with two-image reprojection checks),
+Optimizer::OptimizeSim3 (src/Optimizer.cc:1216: g2o VertexSim3Expmap with
+forward/inverse projection edges) and Optimizer::OptimizeEssentialGraph
+(src/Optimizer.cc:951: Sim3 pose graph over spanning-tree/covisibility/
+loop edges, BlockSolver_7_3) with batched XLA solvers:
+
+- `sim3_horn`: closed-form similarity from >= 3 point pairs.
+- `sim3_ransac`: hundreds of 3-sample hypotheses scored in one vmapped
+  pass (the reference iterates 5 hypotheses per round-robin call).
+- `optimize_sim3`: Gauss-Newton on the 7-dof tangent with autodiff
+  Jacobians of the symmetric projection residuals.
+- `pose_graph_sim3`: batched GN over all keyframe Sim3 states; dense
+  normal equations (7K x 7K — a few-MB solve for SLAM-scale maps).
+
+A Sim3 is carried as the triple (s, R, t); `fix_scale=True` keeps s = 1
+(stereo/RGBD, reference Sim3Solver.h:36-58 mbFixScale).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from splslam_tpu.geometry import se3
+
+_HI = jax.lax.Precision.HIGHEST
+
+
+def sim3_horn(X1: jax.Array, X2: jax.Array, w: jax.Array | None = None,
+              fix_scale: bool = False):
+    """Closed-form similarity S12 = (s,R,t) with X1 ~ s R X2 + t from
+    point sets [N,3] (Horn 1987, reference Sim3Solver::ComputeSim3)."""
+    n = X1.shape[0]
+    if w is None:
+        w = jnp.ones((n,))
+    wsum = jnp.maximum(jnp.sum(w), 1e-9)
+    c1 = jnp.sum(X1 * w[:, None], axis=0) / wsum
+    c2 = jnp.sum(X2 * w[:, None], axis=0) / wsum
+    Y1 = X1 - c1
+    Y2 = X2 - c2
+    H = jnp.einsum("ni,nj,n->ij", Y1, Y2, w, precision=_HI)
+    U, sv, Vt = jnp.linalg.svd(H)
+    D = jnp.diag(
+        jnp.array([1.0, 1.0, 1.0]).at[2].set(
+            jnp.sign(jnp.linalg.det(U) * jnp.linalg.det(Vt))
+        )
+    )
+    R = U @ D @ Vt
+    if fix_scale:
+        s = jnp.float32(1.0)
+    else:
+        num = jnp.sum(Y1 * (Y2 @ R.T) * w[:, None])
+        den = jnp.maximum(jnp.sum(Y2 * Y2 * w[:, None]), 1e-12)
+        s = num / den
+    t = c1 - s * (R @ c2)
+    return s, R, t
+
+
+def _project(fx, fy, cx, cy, pc):
+    zs = jnp.where(pc[:, 2] > 1e-6, pc[:, 2], 1e-6)
+    return jnp.stack(
+        [fx * pc[:, 0] / zs + cx, fy * pc[:, 1] / zs + cy], axis=-1
+    )
+
+
+@partial(jax.jit, static_argnames=("n_hyp", "fix_scale"))
+def sim3_ransac(
+    key: jax.Array,
+    X1: jax.Array,    # [N,3] matched map points in KF1 camera frame
+    X2: jax.Array,    # [N,3] same landmarks in KF2 camera frame
+    uv1: jax.Array,   # [N,2] observations in image 1
+    uv2: jax.Array,   # [N,2] observations in image 2
+    inv_sigma2_1: jax.Array,
+    inv_sigma2_2: jax.Array,
+    mask: jax.Array,
+    K: jax.Array,     # (3,3)
+    n_hyp: int = 128,
+    fix_scale: bool = False,
+):
+    """Vmapped Sim3 RANSAC (reference Sim3Solver::iterate). Returns
+    ((s,R,t) best S12, n_inliers, inlier mask)."""
+    N = X1.shape[0]
+    fx, fy, cx, cy = K[0, 0], K[1, 1], K[0, 2], K[1, 2]
+    logits = jnp.where(mask, 0.0, -1e9)
+    g = jax.random.gumbel(key, (n_hyp, N)) + logits[None]
+    _, samples = jax.lax.top_k(g, 3)
+
+    def inliers_of(s, R, t):
+        p1 = s * (X2 @ R.T) + t                    # S12 X2 -> frame 1
+        e1 = jnp.sum((_project(fx, fy, cx, cy, p1) - uv1) ** 2, -1)
+        s_inv, R_inv, t_inv = se3.sim3_inverse(s, R, t)
+        p2 = s_inv * (X1 @ R_inv.T) + t_inv        # S21 X1 -> frame 2
+        e2 = jnp.sum((_project(fx, fy, cx, cy, p2) - uv2) ** 2, -1)
+        # reference thresholds: 9.210 * sigma2 (2-dof 99%)
+        return mask & (e1 * inv_sigma2_1 < 9.21) & (e2 * inv_sigma2_2 < 9.21)
+
+    def per_hyp(idx):
+        s, R, t = sim3_horn(X1[idx], X2[idx], fix_scale=fix_scale)
+        inl = inliers_of(s, R, t)
+        return s, R, t, jnp.sum(inl.astype(jnp.int32))
+
+    ss, Rs, ts, counts = jax.vmap(per_hyp)(samples)
+    best = jnp.argmax(counts)
+    s, R, t = ss[best], Rs[best], ts[best]
+    inl = inliers_of(s, R, t)
+    # refit on all inliers
+    s2, R2, t2 = sim3_horn(X1, X2, inl.astype(jnp.float32), fix_scale=fix_scale)
+    inl2 = inliers_of(s2, R2, t2)
+    better = jnp.sum(inl2.astype(jnp.int32)) >= jnp.sum(inl.astype(jnp.int32))
+    s = jnp.where(better, s2, s)
+    R = jnp.where(better, R2, R)
+    t = jnp.where(better, t2, t)
+    inl = inliers_of(s, R, t)
+    return (s, R, t), jnp.sum(inl.astype(jnp.int32)), inl
+
+
+@partial(jax.jit, static_argnames=("iters", "fix_scale"))
+def optimize_sim3(
+    s0, R0, t0,
+    X1: jax.Array, X2: jax.Array,
+    uv1: jax.Array, uv2: jax.Array,
+    inv_sigma2_1: jax.Array, inv_sigma2_2: jax.Array,
+    mask: jax.Array,
+    K: jax.Array,
+    iters: int = 10,
+    fix_scale: bool = False,
+):
+    """GN refinement of S12 with symmetric projection residuals
+    (reference Optimizer::OptimizeSim3, src/Optimizer.cc:1216; chi2 gate
+    10.0 on each direction like th2 = 10 there). Returns
+    ((s,R,t), n_inliers, inlier_mask)."""
+    fx, fy, cx, cy = K[0, 0], K[1, 1], K[0, 2], K[1, 2]
+
+    def residuals(xi, s, R, t):
+        ds, dR, dt = se3.sim3_exp(xi)
+        s_n = s * ds
+        R_n = dR @ R
+        t_n = ds * (dR @ t) + dt
+        p1 = s_n * (X2 @ R_n.T) + t_n
+        r1 = (_project(fx, fy, cx, cy, p1) - uv1) * jnp.sqrt(
+            inv_sigma2_1
+        )[:, None]
+        si, Ri, ti = se3.sim3_inverse(s_n, R_n, t_n)
+        p2 = si * (X1 @ Ri.T) + ti
+        r2 = (_project(fx, fy, cx, cy, p2) - uv2) * jnp.sqrt(
+            inv_sigma2_2
+        )[:, None]
+        return jnp.concatenate([r1, r2], axis=0)  # [2N,2]
+
+    def chi2_of(s, R, t):
+        r = residuals(jnp.zeros(7), s, R, t)
+        N = X1.shape[0]
+        c1 = jnp.sum(r[:N] ** 2, -1)
+        c2 = jnp.sum(r[N:] ** 2, -1)
+        return c1, c2
+
+    def gn(carry, _):
+        s, R, t, active = carry
+        r0 = residuals(jnp.zeros(7), s, R, t)
+        J = jax.jacfwd(lambda xi: residuals(xi, s, R, t))(jnp.zeros(7))
+        w = jnp.concatenate([active, active]).astype(jnp.float32)
+        # Huber on the 2-dof chi2 (th 10)
+        c = jnp.sum(r0 * r0, -1)
+        w = w * jnp.where(c <= 10.0, 1.0, jnp.sqrt(10.0 / jnp.maximum(c, 1e-9)))
+        H = jnp.einsum("nik,n,nil->kl", J, w, J, precision=_HI)
+        b = jnp.einsum("nik,n,ni->k", J, w, r0, precision=_HI)
+        if fix_scale:
+            # zero out the scale coordinate (last tangent dim is sigma in
+            # our sim3_exp ordering [rho, phi, sigma])
+            H = H.at[6, :].set(0.0).at[:, 6].set(0.0).at[6, 6].set(1.0)
+            b = b.at[6].set(0.0)
+        H = H + 1e-6 * jnp.eye(7) * jnp.maximum(jnp.trace(H) / 7.0, 1.0)
+        dx = -jnp.linalg.solve(H, b)
+        dx = jnp.where(jnp.all(jnp.isfinite(dx)), dx, 0.0)
+        ds, dR, dt = se3.sim3_exp(dx)
+        s_n = s * ds
+        R_n = dR @ R
+        t_n = ds * (dR @ t) + dt
+        return (s_n, R_n, t_n, active), None
+
+    c1, c2 = chi2_of(s0, R0, t0)
+    active = mask & (c1 < 9.21) & (c2 < 9.21)
+    (s, R, t, active), _ = jax.lax.scan(
+        gn, (s0, R0, t0, active), None, length=iters
+    )
+    c1, c2 = chi2_of(s, R, t)
+    inl = mask & (c1 < 10.0) & (c2 < 10.0)
+    return (s, R, t), jnp.sum(inl.astype(jnp.int32)), inl
+
+
+class PoseGraphEdges(NamedTuple):
+    """Sim3 constraints between keyframe slots (spanning tree +
+    covisibility + loop edges, reference Optimizer.cc:1019-1189)."""
+
+    i: jax.Array        # [E] i32
+    j: jax.Array        # [E] i32
+    s: jax.Array        # [E] measured S_ji scale
+    R: jax.Array        # [E,3,3]
+    t: jax.Array        # [E,3]
+    weight: jax.Array   # [E] f32 (0 masks the edge)
+
+
+@partial(jax.jit, static_argnames=("iters", "fix_scale"))
+def pose_graph_sim3(
+    s_all: jax.Array,    # [K] initial scales (1 for non-corrected)
+    R_all: jax.Array,    # [K,3,3] Tcw rotations
+    t_all: jax.Array,    # [K,3]
+    free: jax.Array,     # [K] bool (False = gauge anchor, e.g. KF 0)
+    edges: PoseGraphEdges,
+    iters: int = 12,
+    fix_scale: bool = False,
+):
+    """Batched GN on the Sim3 pose graph: residual of edge (i,j) is the
+    tangent-space error of S_ji * S_i * S_j^{-1} (zero iff the relative
+    pose matches the measurement). Returns (s, R, t) per keyframe."""
+    K = s_all.shape[0]
+
+    def edge_residual(xi_i, xi_j, si, Ri, ti, sj, Rj, tj, e_idx):
+        dsi, dRi, dti = se3.sim3_exp(xi_i)
+        si_n = si * dsi
+        Ri_n = dRi @ Ri
+        ti_n = dsi * (dRi @ ti) + dti
+        dsj, dRj, dtj = se3.sim3_exp(xi_j)
+        sj_n = sj * dsj
+        Rj_n = dRj @ Rj
+        tj_n = dsj * (dRj @ tj) + dtj
+        # S_i * S_j^-1
+        sji, Rji, tji = se3.sim3_compose(
+            (si_n, Ri_n, ti_n), se3.sim3_inverse(sj_n, Rj_n, tj_n)
+        )
+        # E = S_meas * (S_i S_j^-1)^-1  -> identity when consistent.
+        # Rotation error via the skew part vee((Re - Re^T)/2): smooth at
+        # the identity (so3_log's arccos has an infinite derivative there,
+        # which poisons forward-mode Jacobians with NaNs).
+        se_, Re, te = se3.sim3_compose(
+            (edges.s[e_idx], edges.R[e_idx], edges.t[e_idx]),
+            se3.sim3_inverse(sji, Rji, tji),
+        )
+        rot_err = jnp.stack(
+            [Re[2, 1] - Re[1, 2], Re[0, 2] - Re[2, 0], Re[1, 0] - Re[0, 1]]
+        ) * 0.5
+        return jnp.concatenate(
+            [te, rot_err, jnp.log(jnp.maximum(se_, 1e-9))[None]]
+        )  # [7]
+
+    def gn(carry, _):
+        s_c, R_c, t_c = carry
+
+        def one_edge(e):
+            i = edges.i[e]
+            j = edges.j[e]
+            zi = jnp.zeros(7)
+            fi = lambda xi: edge_residual(
+                xi, jnp.zeros(7), s_c[i], R_c[i], t_c[i],
+                s_c[j], R_c[j], t_c[j], e,
+            )
+            fj = lambda xj: edge_residual(
+                jnp.zeros(7), xj, s_c[i], R_c[i], t_c[i],
+                s_c[j], R_c[j], t_c[j], e,
+            )
+            r = fi(zi)
+            Ji = jax.jacfwd(fi)(zi)   # [7,7]
+            Jj = jax.jacfwd(fj)(zi)
+            return r, Ji, Jj
+
+        r, Ji, Jj = jax.vmap(one_edge)(jnp.arange(edges.i.shape[0]))
+        w = edges.weight
+        wf_i = w * free[edges.i].astype(jnp.float32)
+        wf_j = w * free[edges.j].astype(jnp.float32)
+        # Assemble dense H [K,7,K,7] and b [K,7] via scatters.
+        H = jnp.zeros((K, 7, K, 7))
+        b = jnp.zeros((K, 7))
+        Hii = jnp.einsum("eki,e,ekj->eij", Ji, wf_i, Ji, precision=_HI)
+        Hjj = jnp.einsum("eki,e,ekj->eij", Jj, wf_j, Jj, precision=_HI)
+        Hij = jnp.einsum("eki,e,ekj->eij", Ji, wf_i * free[edges.j], Jj,
+                         precision=_HI)
+        bi = jnp.einsum("eki,e,ek->ei", Ji, wf_i, r, precision=_HI)
+        bj = jnp.einsum("eki,e,ek->ei", Jj, wf_j, r, precision=_HI)
+        H = H.at[edges.i, :, edges.i, :].add(Hii)
+        H = H.at[edges.j, :, edges.j, :].add(Hjj)
+        H = H.at[edges.i, :, edges.j, :].add(Hij)
+        H = H.at[edges.j, :, edges.i, :].add(jnp.swapaxes(Hij, 1, 2))
+        b = b.at[edges.i].add(bi)
+        b = b.at[edges.j].add(bj)
+
+        A = H.reshape(K * 7, K * 7)
+        # anchor non-free states + damping
+        anchor = (~free).astype(jnp.float32)
+        diag_fix = jnp.repeat(anchor, 7)
+        A = A + jnp.diag(diag_fix * 1e6 + 1e-6)
+        A = A + 1e-8 * jnp.eye(K * 7) * jnp.maximum(jnp.trace(A), 1.0)
+        dx = -jnp.linalg.solve(A, b.reshape(-1)).reshape(K, 7)
+        dx = jnp.where(jnp.all(jnp.isfinite(dx)), dx, jnp.zeros_like(dx))
+        dx = dx * free[:, None].astype(jnp.float32)
+        if fix_scale:
+            dx = dx.at[:, 6].set(0.0)
+
+        ds, dR, dt = jax.vmap(se3.sim3_exp)(dx)
+        s_n = s_c * ds
+        R_n = jnp.einsum("kij,kjl->kil", dR, R_c, precision=_HI)
+        t_n = ds[:, None] * jnp.einsum(
+            "kij,kj->ki", dR, t_c, precision=_HI
+        ) + dt
+        return (s_n, R_n, t_n), None
+
+    (s_f, R_f, t_f), _ = jax.lax.scan(
+        gn, (s_all, R_all, t_all), None, length=iters
+    )
+    return s_f, R_f, t_f

@@ -118,6 +118,11 @@ class Settings:
     enable_relocalization: bool = True
     vocabulary_path: str | None = None  # None -> bundled default vocab
     reloc_min_inliers: int = 50         # reference Tracking.cc:3049
+    # loop closing: detection+verification always run when vocab present;
+    # CORRECTION defaults off to mirror the reference's kill-switch
+    # (src/LoopClosing.cc:390-392 returns false after verification)
+    enable_loop_closing: bool = True
+    enable_loop_correction: bool = False
     # minimum frame gap before a keyframe may be inserted (reference
     # mMinFrames = 0, src/Tracking.cc:62; a small positive gap amortizes
     # the mapping dispatch on the tunnel-attached chip)
@@ -171,6 +176,9 @@ class System:
             if settings.enable_relocalization else None
         self._reset_runtime()
         self.mapper = LocalMapper(self)
+        from splslam_tpu.slam.loop_closing import LoopCloser
+
+        self.loop_closer = LoopCloser(self)
 
     # ------------------------------------------------------------------
     def _reset_runtime(self):
@@ -279,9 +287,12 @@ class System:
         return self.mapper.big_change_idx > 0
 
     def reset(self):
+        from splslam_tpu.slam.loop_closing import LoopCloser
+
         self._pending = deque()
         self._reset_runtime()
         self.mapper = LocalMapper(self)
+        self.loop_closer = LoopCloser(self)
         self.state = TrackingState.NO_IMAGES_YET
 
     def shutdown(self):
@@ -510,6 +521,8 @@ class System:
         self._pending_kf_out = out
         self._register_kf_bow(kf, step_state.frame)
         self.mapper.on_keyframe(kf)
+        if self.settings.enable_loop_closing:
+            self.loop_closer.on_keyframe(kf)
 
     def _resolve_kf_out(self):
         if self._pending_kf_out is not None:
@@ -566,6 +579,18 @@ class System:
         return np.stack(
             [np.linalg.inv(e.Tcw) for e in self.trajectory], axis=0
         )
+
+    def poses_reconstructed(self) -> np.ndarray:
+        """Per-frame Twc reconstructed against FINAL keyframe poses
+        (exactly what the trajectory savers write, reference
+        System.cc:369-395) — reflects loop corrections and GBA."""
+        self.drain()
+        kf_Tcw = np.asarray(self.map.kfs.Tcw)
+        out = []
+        for e in self.trajectory:
+            Trw = kf_Tcw[e.ref_kf] if e.ref_kf >= 0 else np.eye(4)
+            out.append(np.linalg.inv(e.Tcr @ Trw))
+        return np.stack(out, axis=0)
 
 
 def _rot_to_quat(R: np.ndarray) -> np.ndarray:

@@ -137,3 +137,18 @@ def test_ba_fixed_cameras_anchor():
     np.testing.assert_allclose(
         np.asarray(res.Tcw[0]), np.asarray(prob.Tcw[0]), atol=0
     )
+
+
+def test_pcg_gba_matches_dense():
+    """The matrix-free PCG solver must reach the same optimum as the
+    dense-Schur local solver on a problem both can handle."""
+    from splslam_tpu.optim.ba import ba_solve_pcg
+
+    cam, prob, Tcw_gt, X_gt = _make_problem(n_cams=8, n_pts=200)
+    res = ba_solve_pcg(cam, prob, rounds=2, gn_iters=4, cg_iters=30)
+    for c in range(1, Tcw_gt.shape[0]):
+        dt = np.asarray(res.Tcw[c])[:3, 3] - Tcw_gt[c][:3, 3]
+        assert np.linalg.norm(dt) < 0.01, (c, dt)
+    err = np.linalg.norm(np.asarray(res.xyz) - X_gt, axis=-1)
+    assert np.median(err) < 0.02
+    assert float(jnp.mean(res.e_inlier.astype(jnp.float32))) > 0.95

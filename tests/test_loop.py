@@ -1,0 +1,71 @@
+"""Loop closing end-to-end: detection + Sim3 verification on an
+out-and-back revisit, and offline correction + GBA smoke."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from splslam_tpu.io.synthetic import PlaneScene, ate_rmse, make_texture
+from splslam_tpu.slam.system import Sensor, Settings, System, TrackingState
+
+
+def _out_and_back(n_out=30, step=0.15, W=320, H=240, FX=200.0, BASE=0.12):
+    K = np.array([[FX, 0, W / 2], [0, FX, H / 2], [0, 0, 1]], np.float32)
+    scene = PlaneScene(make_texture(seed=0), z0=2.0, z1=5.0)
+    poses, frames = [], []
+    for i in range(2 * n_out):
+        Twc = np.eye(4)
+        x = step * (i if i < n_out else (2 * n_out - i))
+        Twc[0, 3] = x
+        Twc[1, 3] = 0.01 * np.sin(i * 0.4)
+        poses.append(Twc.copy())
+        imgL = scene.render(K, Twc, H, W)
+        Twc_r = Twc.copy()
+        Twc_r[0, 3] += BASE
+        frames.append((imgL, scene.render(K, Twc_r, H, W)))
+    return K, FX * BASE, frames, np.stack(poses)
+
+
+def test_loop_detect_verify_and_correct():
+    K, bf, frames, gt = _out_and_back()
+    st = Settings(
+        fx=float(K[0, 0]), fy=float(K[1, 1]), cx=float(K[0, 2]),
+        cy=float(K[1, 2]), bf=float(bf), width=320, height=240,
+        n_features=500, n_levels=4, th_depth=60.0, fps=5,
+        max_points=16384, max_keyframes=64, local_window=1024,
+        enable_local_mapping=True, enable_loop_correction=False,
+    )
+    sysm = System(st, Sensor.STEREO)
+    for i, (l, r) in enumerate(frames):
+        sysm.track_stereo(l, r, i * 0.2)
+    sysm.drain()
+    assert sysm.state == TrackingState.OK
+    # The revisit must be detected, temporally confirmed, and Sim3-verified
+    # (with the reference's kill-switch default, it is only RECORDED).
+    assert len(sysm.loop_closer.verified_loops) >= 1
+    kf, cand = sysm.loop_closer.verified_loops[0]
+    assert kf - cand >= 5  # a real loop, not a neighbor
+
+    ate0 = ate_rmse(sysm.poses_reconstructed(), gt)
+
+    # Offline correction (CorrectLoop + essential graph): poses move,
+    # trajectory stays sane.
+    from splslam_tpu.slam.loop_closing import compute_sim3_attempt
+
+    K3 = jnp.asarray(K)
+    *_, S12 = compute_sim3_attempt(
+        jax.random.PRNGKey(kf), sysm.map, jnp.int32(kf), jnp.int32(cand),
+        K3, jnp.float32(1.0),
+    )
+    Tcw_before = np.asarray(sysm.map.kfs.Tcw[:sysm.n_kfs]).copy()
+    sysm.loop_closer._correct(kf, cand, S12)
+    Tcw_after = np.asarray(sysm.map.kfs.Tcw[:sysm.n_kfs])
+    moved = np.abs(Tcw_after - Tcw_before).max()
+    assert moved > 1e-4  # the essential graph actually acted
+    ate1 = ate_rmse(sysm.poses_reconstructed(), gt)
+    assert ate1 < ate0 * 1.15, (ate0, ate1)  # no catastrophic distortion
+
+    # Global BA smoke (matrix-free PCG over the whole map).
+    sysm.loop_closer.run_global_ba(rounds=1)
+    ate2 = ate_rmse(sysm.poses_reconstructed(), gt)
+    assert ate2 < ate0 * 1.2, (ate0, ate2)
