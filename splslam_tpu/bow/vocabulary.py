@@ -178,20 +178,70 @@ def _popcount_dist(desc: jax.Array, cands: jax.Array) -> jax.Array:
     return jnp.sum(jax.lax.population_count(x), axis=-1).astype(jnp.int32)
 
 
-def transform_words(vocab: Vocab, desc: jax.Array, valid: jax.Array) -> jax.Array:
-    """[N,8] u32 descriptors -> [N] i32 word ids (-1 for invalid rows).
-
-    L rounds of gather-children + popcount-argmin (DBoW2
-    TemplatedVocabulary::transform tree descent)."""
-    k = vocab.k
+def _descend(level_desc: tuple, k: int, depth: int, desc: jax.Array,
+             valid: jax.Array) -> jax.Array:
     node = jnp.zeros(desc.shape[0], jnp.int32)
-    for l in range(vocab.depth):
-        table = vocab.level_desc[l]              # [k^(l+1), 8]
+    for l in range(depth):
+        table = level_desc[l]                    # [k^(l+1), 8]
         cand_idx = node[:, None] * k + jnp.arange(k)[None, :]
         cands = table[cand_idx]                  # [N,k,8]
         d = _popcount_dist(desc, cands)
         node = cand_idx[jnp.arange(desc.shape[0]), jnp.argmin(d, axis=1)]
     return jnp.where(valid, node, -1)
+
+
+@partial(jax.jit, static_argnames=("k", "depth"))
+def transform_words_jit(level_desc: tuple, k: int, depth: int,
+                        desc: jax.Array, valid: jax.Array) -> jax.Array:
+    return _descend(level_desc, k, depth, desc, valid)
+
+
+def transform_words(vocab: Vocab, desc: jax.Array, valid: jax.Array) -> jax.Array:
+    """[N,8] u32 descriptors -> [N] i32 word ids (-1 for invalid rows).
+
+    L rounds of gather-children + popcount-argmin (DBoW2
+    TemplatedVocabulary::transform tree descent). One fused dispatch."""
+    return transform_words_jit(
+        vocab.level_desc, vocab.k, vocab.depth, desc, valid
+    )
+
+
+@partial(jax.jit, static_argnames=("k", "depth"), donate_argnames=("kf_bow",))
+def update_bow_row(
+    kf_bow: jax.Array,
+    level_desc: tuple,
+    weights: jax.Array,
+    k: int,
+    depth: int,
+    desc: jax.Array,
+    valid: jax.Array,
+    row: jax.Array,
+) -> jax.Array:
+    """Fused transform + tf-idf vector + row write: ONE device dispatch
+    per keyframe (an eager tree descent costs ~20 tunnel round trips)."""
+    words = _descend(level_desc, k, depth, desc, valid)
+    W = kf_bow.shape[1]
+    ok = words >= 0
+    v = jnp.zeros((W,)).at[jnp.clip(words, 0)].add(
+        jnp.where(ok, weights[jnp.clip(words, 0)], 0.0)
+    )
+    v = v / jnp.maximum(jnp.sum(v), 1e-9)
+    return kf_bow.at[row].set(v)
+
+
+@partial(jax.jit, static_argnames=("k", "depth"))
+def query_bow(
+    level_desc: tuple, weights: jax.Array, k: int, depth: int,
+    desc: jax.Array, valid: jax.Array, n_words: int | None = None,
+) -> jax.Array:
+    """Fused transform + tf-idf vector for a query frame."""
+    words = _descend(level_desc, k, depth, desc, valid)
+    W = weights.shape[0]
+    ok = words >= 0
+    v = jnp.zeros((W,)).at[jnp.clip(words, 0)].add(
+        jnp.where(ok, weights[jnp.clip(words, 0)], 0.0)
+    )
+    return v / jnp.maximum(jnp.sum(v), 1e-9)
 
 
 def bow_vector(vocab: Vocab, words: jax.Array) -> jax.Array:

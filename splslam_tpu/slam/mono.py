@@ -285,7 +285,7 @@ def track_mono_impl(system, image: jax.Array, ts: float) -> np.ndarray:
             image.astype(jnp.float32), s.cam, s.spec,
             undistort=s.settings.has_distortion,
             with_lines=s.settings.using_line,
-            line_capacity=s.settings.line_features,
+            line_capacity=s.line_cap,
         )
         n_feat = int(jnp.sum(frame.feat.valid.astype(jnp.int32)))
         if s.mono_state is None:
@@ -394,7 +394,7 @@ def track_mono_impl(system, image: jax.Array, ts: float) -> np.ndarray:
         scale_factor=s.settings.scale_factor,
         n_levels=s.settings.n_levels,
         with_lines=s.settings.using_line,
-        line_capacity=s.settings.line_features,
+        line_capacity=s.line_cap,
         undistort=s.settings.has_distortion,
     )
     return s._enqueue_step(new_step, stats_dev, ts)

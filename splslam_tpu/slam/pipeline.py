@@ -187,10 +187,10 @@ def _track_body(frame, map_state, prev, th_depth_m, ref_kf, cam, scales,
     T_pred = prev.velocity @ prev.Tcw
     win = assemble_local_window(map_state, prev.lm_gid, m_local)
     lcap = frame.lines.capacity
-    if lcap > 8:
+    if lcap > 1:
         lwin = assemble_line_window(map_state, prev.ll_gid, min(1024, 4 * lcap))
     else:
-        # line pipeline effectively off — empty window, stages are no-ops
+        # line pipeline off (capacity-1 tables) — stages are no-ops
         lwin = LineWindow.empty(1)
     res = track_step(
         cam, scales, frame,
@@ -213,7 +213,7 @@ def _track_body(frame, map_state, prev, th_depth_m, ref_kf, cam, scales,
         jnp.zeros_like(res.found_ids, bool),
         jnp.ones_like(res.found_ids, bool),
     )
-    if frame.lines.capacity > 8:
+    if frame.lines.capacity > 1:
         map_state = mapmod.update_line_stats(
             map_state,
             jnp.where(lwin.ok, lwin.ids, -1),

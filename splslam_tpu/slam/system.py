@@ -21,6 +21,7 @@ from __future__ import annotations
 
 import enum
 import os
+import time
 from collections import deque
 from dataclasses import dataclass
 
@@ -144,6 +145,39 @@ class Settings:
         )
 
 
+class StageTimer:
+    """Per-stage wall-clock accumulator (the reference instruments every
+    pipeline stage with PL_SLAM::Timer and prints running averages,
+    src/Tracking.cc:381-413, src/LocalMapping.cc:139-235; report row
+    names follow the performance report, SURVEY §6.2)."""
+
+    def __init__(self):
+        self.samples: dict[str, list[float]] = {}
+
+    def add(self, stage: str, ms: float):
+        self.samples.setdefault(stage, []).append(ms)
+
+    def report(self) -> dict:
+        out = {}
+        for k, v in self.samples.items():
+            arr = np.array(v)
+            out[k] = {
+                "mean_ms": float(arr.mean()),
+                "median_ms": float(np.median(arr)),
+                "n": len(v),
+            }
+        return out
+
+    def pretty(self) -> str:
+        lines = ["stage                         mean ms   median ms      n"]
+        for k, s in self.report().items():
+            lines.append(
+                f"{k:<28}{s['mean_ms']:>10.2f}{s['median_ms']:>12.2f}"
+                f"{s['n']:>7d}"
+            )
+        return "\n".join(lines)
+
+
 @dataclass
 class _TrajEntry:
     ts: float
@@ -172,6 +206,11 @@ class System:
             if settings.bf > 0 else 1e9
         )
         self.min_kf_gap = settings.min_kf_gap
+        # Line tables collapse to 1 slot when the line pipeline is off:
+        # the reference's stereo/RGBD envelope is point-only
+        # (src/Tracking.cc:321-354), and empty 128-slot line stages would
+        # still cost compile time and per-frame work.
+        self.line_cap = settings.line_features if settings.using_line else 1
         self.vocab = _load_vocab(settings.vocabulary_path) \
             if settings.enable_relocalization else None
         self._reset_runtime()
@@ -186,7 +225,7 @@ class System:
         n_feat = self.spec.total_capacity
         self.map = mapmod.MapState.empty(
             s.max_points, s.max_maplines, s.max_keyframes, n_feat,
-            s.line_features,
+            self.line_cap,
         )
         self.n_kfs = 0
         self.n_pts = 0
@@ -202,6 +241,7 @@ class System:
         self._pending: deque = deque()       # (stats_dev, ts, step_state)
         self._pending_kf_out = None          # async keyframe-creation output
         self._th_depth_dev = jnp.float32(self.th_depth_m)
+        self.timers = StageTimer()
         # keyframe BoW matrix (the KeyFrameDatabase's inverted file as a
         # dense [K,W] score table, reference include/KeyFrameDatabase.h:66)
         if self.vocab is not None:
@@ -216,6 +256,15 @@ class System:
     # public API (reference System.h:84-128)
     # ------------------------------------------------------------------
     def track_stereo(self, img_left, img_right, timestamp: float) -> np.ndarray:
+        t0 = time.perf_counter()
+        try:
+            return self._track_stereo(img_left, img_right, timestamp)
+        finally:
+            self.timers.add(
+                "Tracking total / frame", (time.perf_counter() - t0) * 1e3
+            )
+
+    def _track_stereo(self, img_left, img_right, timestamp: float) -> np.ndarray:
         # One packed uint8 transfer for the pair: the tunnel-attached TPU
         # is H2D-bandwidth-bound (~22 MB/s), so ship 1 byte/px, not 4.
         imgs = jnp.asarray(
@@ -227,7 +276,7 @@ class System:
             frame = build_frame_stereo(
                 imgs[0].astype(jnp.float32), imgs[1].astype(jnp.float32),
                 self.cam, self.spec,
-                line_capacity=self.settings.line_features,
+                line_capacity=self.line_cap,
             )
             self._stereo_initialize(frame, timestamp)
             return self.last_Tcw_np.copy()
@@ -239,18 +288,27 @@ class System:
             m_local=self.settings.local_window,
             scale_factor=self.settings.scale_factor,
             n_levels=self.settings.n_levels,
-            line_capacity=self.settings.line_features,
+            line_capacity=self.line_cap,
         )
         return self._enqueue_step(new_step, stats_dev, timestamp)
 
     def track_rgbd(self, img, depth, timestamp: float) -> np.ndarray:
+        t0 = time.perf_counter()
+        try:
+            return self._track_rgbd(img, depth, timestamp)
+        finally:
+            self.timers.add(
+                "Tracking total / frame", (time.perf_counter() - t0) * 1e3
+            )
+
+    def _track_rgbd(self, img, depth, timestamp: float) -> np.ndarray:
         imgj = jnp.asarray(np.asarray(img).astype(np.uint8))
         depthj = jnp.asarray(depth, jnp.float32)
         if self.state in (TrackingState.NO_IMAGES_YET, TrackingState.NOT_INITIALIZED):
             frame = build_frame_rgbd(
                 imgj, depthj, self.cam, self.spec,
                 depth_factor=self.settings.depth_map_factor,
-                line_capacity=self.settings.line_features,
+                line_capacity=self.line_cap,
             )
             self._stereo_initialize(frame, timestamp)
             return self.last_Tcw_np.copy()
@@ -263,11 +321,20 @@ class System:
             scale_factor=self.settings.scale_factor,
             n_levels=self.settings.n_levels,
             depth_factor=self.settings.depth_map_factor,
-            line_capacity=self.settings.line_features,
+            line_capacity=self.line_cap,
         )
         return self._enqueue_step(new_step, stats_dev, timestamp)
 
     def track_mono(self, img, timestamp: float) -> np.ndarray:
+        t0 = time.perf_counter()
+        try:
+            return self._track_mono(img, timestamp)
+        finally:
+            self.timers.add(
+                "Tracking total / frame", (time.perf_counter() - t0) * 1e3
+            )
+
+    def _track_mono(self, img, timestamp: float) -> np.ndarray:
         image = jnp.asarray(np.asarray(img).astype(np.uint8))
         from splslam_tpu.slam import mono
 
@@ -378,17 +445,22 @@ class System:
             return
         from splslam_tpu.bow import vocabulary as V
 
-        words = V.transform_words(self.vocab, frame.feat.desc, frame.feat.valid)
-        row = V.bow_vector(self.vocab, words)
-        self.kf_bow = self.kf_bow.at[kf].set(row)
+        v = self.vocab
+        self.kf_bow = V.update_bow_row(
+            self.kf_bow, v.level_desc, v.weights, v.k, v.depth,
+            frame.feat.desc, frame.feat.valid, jnp.int32(kf),
+        )
 
     def _try_relocalize(self, step_state: StepState, ts: float) -> bool:
         from splslam_tpu.bow import vocabulary as V
         from splslam_tpu.slam import reloc
 
         frame = step_state.frame
-        words = V.transform_words(self.vocab, frame.feat.desc, frame.feat.valid)
-        query = V.bow_vector(self.vocab, words)
+        v = self.vocab
+        query = V.query_bow(
+            v.level_desc, v.weights, v.k, v.depth,
+            frame.feat.desc, frame.feat.valid,
+        )
         scores = reloc.reloc_scores(
             self.kf_bow, self.map.kfs.valid, query,
             jnp.zeros((self.settings.max_keyframes,), bool),
@@ -499,6 +571,7 @@ class System:
 
     def _create_keyframe(self, step_state: StepState, Tcw_np: np.ndarray,
                          ts: float):
+        t0 = time.perf_counter()
         self.map, new_state, out = pipeline.add_keyframe_step(
             self.map, step_state, jnp.int32(self.frame_id), jnp.float32(ts),
             self._th_depth_dev, self.cam, self.spec,
@@ -520,9 +593,20 @@ class System:
             self.step = new_state
         self._pending_kf_out = out
         self._register_kf_bow(kf, step_state.frame)
+        self.timers.add(
+            "KeyFrame insertion", (time.perf_counter() - t0) * 1e3
+        )
+        t1 = time.perf_counter()
         self.mapper.on_keyframe(kf)
+        self.timers.add(
+            "Mapping total / keyframe", (time.perf_counter() - t1) * 1e3
+        )
         if self.settings.enable_loop_closing:
+            t2 = time.perf_counter()
             self.loop_closer.on_keyframe(kf)
+            self.timers.add(
+                "Loop detection / keyframe", (time.perf_counter() - t2) * 1e3
+            )
 
     def _resolve_kf_out(self):
         if self._pending_kf_out is not None:
