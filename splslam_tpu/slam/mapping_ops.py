@@ -583,6 +583,68 @@ def create_new_lines(
     return st
 
 
+def cull_keyframes(st: MapState, kf: jax.Array, max_cull: int = 2) -> MapState:
+    """KeyFrameCulling (reference src/LocalMapping.cc:1577-1751): a local
+    keyframe >= 90% of whose landmarks are observed by at least 3 OTHER
+    keyframes at the same or finer scale is redundant and marked bad.
+
+    The per-landmark observer-count-by-octave table makes the scale
+    condition a single gather: cnt[lm, o] = number of keyframes observing
+    lm at octave <= o."""
+    kfs = st.kfs
+    K, N = kfs.lm_idx.shape
+    P = st.pts.xyz.shape[0]
+    n_lv = 8
+
+    lm = kfs.lm_idx
+    ok = (lm >= 0) & kfs.fvalid & kfs.valid[:, None]
+    oct_c = jnp.clip(kfs.octave, 0, n_lv - 1)
+    flat_lm = jnp.where(ok, lm, P).reshape(-1)
+    flat_oct = oct_c.reshape(-1)
+    hist = jnp.zeros((P + 1, n_lv), jnp.int32).at[flat_lm, flat_oct].add(
+        1, mode="drop"
+    )
+    cnt_leq = jnp.cumsum(hist[:P], axis=1)  # [P, n_lv]
+
+    # Redundancy ratio per keyframe.
+    safe_lm = jnp.clip(lm, 0)
+    gate_oct = jnp.clip(oct_c + 1, 0, n_lv - 1)
+    n_obs_scaled = cnt_leq[safe_lm, gate_oct]          # [K,N] observers incl self
+    redundant = ok & (n_obs_scaled >= 4)
+    n_feat = jnp.sum(ok.astype(jnp.int32), axis=1)
+    n_red = jnp.sum(redundant.astype(jnp.int32), axis=1)
+    ratio = n_red.astype(jnp.float32) / jnp.maximum(
+        n_feat.astype(jnp.float32), 1.0
+    )
+
+    # Only covisible neighbors of the new keyframe are candidates; never
+    # keyframe 0, the new keyframe, or its predecessor (the tracker's
+    # reference). Cap culls per step.
+    idx = jnp.arange(K)
+    cand = (
+        kfs.valid
+        & (idx != 0)
+        & (idx != kf)
+        & (idx != kf - 1)
+        & (ratio > 0.9)
+        & (n_feat > 50)
+    )
+    order = jnp.argsort(jnp.where(cand, -ratio, jnp.inf))
+    sel = order[:max_cull]
+    cull = jnp.zeros((K,), bool).at[sel].set(cand[sel])
+    new_valid = kfs.valid & ~cull
+    # Erase the culled keyframes' observations so landmark obs counts and
+    # covisibility stay consistent (reference SetBadFlag).
+    dec = jnp.zeros((P,), jnp.int32).at[
+        jnp.where(ok & cull[:, None], lm, P).reshape(-1)
+    ].add(-jnp.where(kfs.u_right.reshape(-1) >= 0, 2, 1), mode="drop")
+    lm_new = jnp.where(cull[:, None], -1, lm)
+    return st._replace(
+        kfs=kfs._replace(valid=new_valid, lm_idx=lm_new),
+        pts=st.pts._replace(n_obs=st.pts.n_obs + dec),
+    )
+
+
 def build_ba_window(st: MapState, kf: jax.Array):
     """Select free/fixed cameras and the landmark slot set for local BA.
 
@@ -733,6 +795,7 @@ def mapping_step(
         cam, prob, rounds=ba_rounds, iters=ba_iters, n_free=N_WINDOW
     )
     st = apply_ba_result(st, cams, lm_ids, prob, res)
+    st = cull_keyframes(st, kf)
     stats = jnp.stack(
         [
             st.n_pts.astype(jnp.float32),

@@ -281,6 +281,19 @@ class System:
             self._stereo_initialize(frame, timestamp)
             return self.last_Tcw_np.copy()
 
+        if self.step is None:
+            # LOST with no live tracker state (e.g. right after load_map):
+            # build the frame and go straight to relocalization.
+            frame = build_frame_stereo(
+                imgs[0].astype(jnp.float32), imgs[1].astype(jnp.float32),
+                self.cam, self.spec, line_capacity=self.line_cap,
+            )
+            step = StepState.fresh(frame, jnp.asarray(self.last_Tcw_np))
+            if self.vocab is not None and self.n_kfs > 0:
+                self._try_relocalize(step, timestamp)
+            self.frame_id += 1
+            return self.last_Tcw_np.copy()
+
         self.map, new_step, stats_dev = pipeline.vo_frame_step(
             imgs, self.map, self.step,
             self._th_depth_dev, jnp.int32(self.ref_kf),
@@ -695,3 +708,62 @@ def _rot_to_quat(R: np.ndarray) -> np.ndarray:
     q[k] = (R[k, i] + R[i, k]) / s
     q[3] = (R[k, j] - R[j, k]) / s
     return q
+
+
+# ----------------------------------------------------------------------
+# Map checkpointing — the reference leaves SaveMap/LoadMap as a TODO
+# (include/System.h:120-122); the SoA device tables serialize directly.
+# ----------------------------------------------------------------------
+def _map_to_npz_dict(m) -> dict:
+    out = {}
+    for group in ("pts", "lns", "kfs"):
+        sub = getattr(m, group)
+        for field in sub._fields:
+            out[f"{group}.{field}"] = np.asarray(getattr(sub, field))
+    out["n_pts"] = np.asarray(m.n_pts)
+    out["n_lns"] = np.asarray(m.n_lns)
+    out["n_kfs"] = np.asarray(m.n_kfs)
+    return out
+
+
+def save_map(system: "System", path: str) -> None:
+    """Checkpoint the full map + enough tracker state to relocalize into
+    it after loading."""
+    system.drain()
+    d = _map_to_npz_dict(system.map)
+    d["meta.n_kfs_host"] = np.int64(system.n_kfs)
+    d["meta.ref_kf"] = np.int64(system.ref_kf)
+    if system.kf_bow is not None:
+        d["meta.kf_bow"] = np.asarray(system.kf_bow)
+    np.savez_compressed(path, **d)
+
+
+def load_map(system: "System", path: str) -> None:
+    """Restore a checkpoint into a fresh System (same Settings). The
+    system starts LOST and relocalizes against the loaded map."""
+    z = np.load(path)
+    m = system.map
+    for group in ("pts", "lns", "kfs"):
+        sub = getattr(m, group)
+        sub = sub._replace(**{
+            f: jnp.asarray(z[f"{group}.{f}"]) for f in sub._fields
+        })
+        m = m._replace(**{group: sub})
+    m = m._replace(
+        n_pts=jnp.asarray(z["n_pts"]),
+        n_lns=jnp.asarray(z["n_lns"]),
+        n_kfs=jnp.asarray(z["n_kfs"]),
+    )
+    system.map = m
+    system.n_kfs = int(z["meta.n_kfs_host"])
+    system.ref_kf = int(z["meta.ref_kf"])
+    if "meta.kf_bow" in z and system.kf_bow is not None:
+        system.kf_bow = jnp.asarray(z["meta.kf_bow"])
+    kf_Tcw = np.asarray(m.kfs.Tcw[: system.n_kfs])
+    for k in range(system.n_kfs):
+        system.kf_pose_host[k] = kf_Tcw[k]
+    system.state = TrackingState.LOST
+
+
+System.save_map = save_map
+System.load_map = load_map

@@ -319,13 +319,17 @@ def track_step(
         mask=assoc_gid >= 0,
     )
     ln_obs = _line_obs_from_assoc(cur.lines, ll_gid, ll_mid)
+    with_lines = Lc > 1  # static: line tables collapse to 1 slot when off
     # 3-branch weights (reference Tracking.cc:1884-1899): points-first
     # unless points are scarce (low-feature: lines join solve A).
     few_pts = n_mm < 20
-    wA = jnp.where(few_pts, 1.0, 0.0)
     wB = jnp.where(few_pts | (n_lmm >= 10), 1.0, 0.0)
-    resA = pose_optimize(T_pred, cam, pts_obs, ln_obs, line_weight=wA)
-    res1 = pose_optimize(resA.Tcw, cam, pts_obs, ln_obs, line_weight=wB)
+    if with_lines:
+        wA = jnp.where(few_pts, 1.0, 0.0)
+        resA = pose_optimize(T_pred, cam, pts_obs, ln_obs, line_weight=wA)
+        res1 = pose_optimize(resA.Tcw, cam, pts_obs, ln_obs, line_weight=wB)
+    else:
+        res1 = pose_optimize(T_pred, cam, pts_obs, ln_obs, line_weight=0.0)
     assoc_gid = jnp.where(res1.inlier_pt, assoc_gid, -1)
     ll_gid = jnp.where(res1.inlier_ln, ll_gid, -1)
 
@@ -359,10 +363,13 @@ def track_step(
     n_pt2 = jnp.sum((assoc_gid2 >= 0).astype(jnp.int32))
     n_ln2 = jnp.sum((ll_gid2 >= 0).astype(jnp.int32))
     few2 = n_pt2 < 20
-    wA2 = jnp.where(few2, 1.0, 0.0)
     wB2 = jnp.where(few2 | (n_ln2 >= 10), 1.0, 0.0)
-    resC = pose_optimize(res1.Tcw, cam, pts_obs2, ln_obs2, line_weight=wA2)
-    res2 = pose_optimize(resC.Tcw, cam, pts_obs2, ln_obs2, line_weight=wB2)
+    if with_lines:
+        wA2 = jnp.where(few2, 1.0, 0.0)
+        resC = pose_optimize(res1.Tcw, cam, pts_obs2, ln_obs2, line_weight=wA2)
+        res2 = pose_optimize(resC.Tcw, cam, pts_obs2, ln_obs2, line_weight=wB2)
+    else:
+        res2 = pose_optimize(res1.Tcw, cam, pts_obs2, ln_obs2, line_weight=0.0)
 
     inlier = res2.inlier_pt & (assoc_gid2 >= 0)
     lm_gid = jnp.where(inlier, assoc_gid2, -1)

@@ -152,3 +152,56 @@ def test_pcg_gba_matches_dense():
     err = np.linalg.norm(np.asarray(res.xyz) - X_gt, axis=-1)
     assert np.median(err) < 0.02
     assert float(jnp.mean(res.e_inlier.astype(jnp.float32))) > 0.95
+
+
+def test_keyframe_culling_marks_redundant():
+    """A keyframe whose landmarks are all seen by 3+ other keyframes at
+    the same scale must be culled (reference KeyFrameCulling)."""
+    import jax.numpy as jnp
+    from splslam_tpu.slam.map import MapState
+    from splslam_tpu.slam.mapping_ops import cull_keyframes
+
+    K, N, P = 8, 64, 256
+    st = MapState.empty(P, 4, K, N, 1)
+    kfs = st.kfs
+    # 6 keyframes all observing the SAME 64 landmarks at octave 0
+    lm_row = jnp.arange(N, dtype=jnp.int32)
+    for k in range(6):
+        kfs = kfs._replace(
+            lm_idx=kfs.lm_idx.at[k].set(lm_row),
+            fvalid=kfs.fvalid.at[k].set(True),
+            valid=kfs.valid.at[k].set(True),
+        )
+    pts = st.pts._replace(
+        valid=st.pts.valid.at[:N].set(True),
+        n_obs=st.pts.n_obs.at[:N].set(6),
+    )
+    st = st._replace(kfs=kfs, pts=pts, n_kfs=jnp.int32(6))
+    out = cull_keyframes(st, jnp.int32(5))
+    v = np.asarray(out.kfs.valid)
+    # kf0 (anchor), kf5 (current), kf4 (previous) protected; some of
+    # kf1..kf3 culled (max 2 per call)
+    assert v[0] and v[5] and v[4]
+    assert (~v[1:4]).sum() == 2
+    # culled keyframes' observations erased
+    culled = [k for k in range(1, 4) if not v[k]]
+    for k in culled:
+        assert (np.asarray(out.kfs.lm_idx[k]) == -1).all()
+
+
+def test_gba_sharded_matches_single_device():
+    """Edge-sharded multi-device GBA must agree with the single-device
+    PCG solver (same problem, 8 virtual devices)."""
+    import jax
+    from jax.sharding import Mesh
+    from splslam_tpu.optim.ba import ba_solve_pcg
+    from splslam_tpu.parallel.gba_sharded import gba_sharded
+
+    cam, prob, Tcw_gt, X_gt = _make_problem(n_cams=6, n_pts=100)
+    mesh = Mesh(np.array(jax.devices()[:8]), ("data",))
+    Tcw_s, xyz_s = gba_sharded(cam, prob, mesh, gn_iters=6, cg_iters=24)
+    for c in range(1, Tcw_gt.shape[0]):
+        dt = np.asarray(Tcw_s[c])[:3, 3] - Tcw_gt[c][:3, 3]
+        assert np.linalg.norm(dt) < 0.01, (c, dt)
+    err = np.linalg.norm(np.asarray(xyz_s) - X_gt, axis=-1)
+    assert np.median(err) < 0.02

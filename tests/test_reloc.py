@@ -69,3 +69,36 @@ def test_relocalization_after_kidnap():
     assert sysm.state == TrackingState.OK
     p = sysm.poses()[-1][:3, 3]
     assert np.linalg.norm(p - gt[6][:3, 3]) < 0.05, p
+
+
+def test_map_save_load_relocalize(tmp_path):
+    """Checkpoint the map, load into a fresh System, relocalize into it
+    (the capability the reference leaves as TODO, System.h:120-122)."""
+    K, bf, frames, gt = make_stereo_sequence(
+        n_frames=12, motion="forward", width=320, height=240
+    )
+    st = Settings(
+        fx=float(K[0, 0]), fy=float(K[1, 1]), cx=float(K[0, 2]),
+        cy=float(K[1, 2]), bf=float(bf), width=320, height=240,
+        n_features=600, n_levels=4, th_depth=40.0, fps=10,
+        max_points=8192, max_keyframes=64, local_window=1024,
+        enable_local_mapping=True,
+    )
+    s1 = System(st, Sensor.STEREO)
+    for i, (l, r) in enumerate(frames):
+        s1.track_stereo(l, r, i * 0.1)
+    s1.drain()
+    p = str(tmp_path / "map.npz")
+    s1.save_map(p)
+
+    s2 = System(st, Sensor.STEREO)
+    s2.load_map(p)
+    assert s2.state == TrackingState.LOST
+    assert s2.n_kfs == s1.n_kfs
+    # feed a previously-seen view: must relocalize against the loaded map
+    for j in range(2):
+        s2.track_stereo(frames[5][0], frames[5][1], 5.0 + j * 0.1)
+    s2.drain()
+    assert s2.state == TrackingState.OK
+    pos = s2.poses()[-1][:3, 3]
+    assert np.linalg.norm(pos - gt[5][:3, 3]) < 0.05
