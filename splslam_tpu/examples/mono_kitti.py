@@ -4,7 +4,8 @@ import sys
 
 from splslam_tpu.examples._common import run_sequence
 from splslam_tpu.io.config import load_settings
-from splslam_tpu.io.datasets import imread_gray, load_kitti_mono
+from splslam_tpu.io.datasets import load_kitti_mono
+from splslam_tpu.io.native import PrefetchLoader
 from splslam_tpu.slam.system import Sensor, System
 
 
@@ -16,11 +17,13 @@ def main(argv=None):
     st, _ = load_settings(argv[0])
     imgs, ts = load_kitti_mono(argv[1])
     sysm = System(st, Sensor.MONOCULAR)
+    dl = PrefetchLoader(imgs, st.width, st.height)
     feed = (
-        (lambda p=p, t=t: sysm.track_mono(imread_gray(p), t))
-        for p, t in zip(imgs, ts)
+        (lambda i=i, t=t: sysm.track_mono(dl[i], t))
+        for i, t in enumerate(ts)
     )
     run_sequence(sysm, feed, len(ts))
+    dl.close()
     # evo-compatible KITTI-mono export (reference SaveTrajectoryKITTIMono,
     # src/System.cc:492)
     sysm.save_trajectory_kitti(argv[2] if len(argv) > 2 else "CameraTrajectory.txt")

@@ -1,0 +1,33 @@
+"""Viewer-equivalent smoke tests (offline FrameDrawer/MapDrawer)."""
+
+import numpy as np
+
+from splslam_tpu.io.synthetic import make_stereo_sequence
+from splslam_tpu.slam.system import Sensor, Settings, System
+from splslam_tpu.viz import plot_map
+from splslam_tpu.viz.draw import render_current_frame
+
+
+def test_overlay_and_map_plot(tmp_path):
+    K, bf, frames, gt = make_stereo_sequence(
+        n_frames=6, motion="forward", width=320, height=240
+    )
+    st = Settings(
+        fx=float(K[0, 0]), fy=float(K[1, 1]), cx=float(K[0, 2]),
+        cy=float(K[1, 2]), bf=float(bf), width=320, height=240,
+        n_features=400, n_levels=3, th_depth=40.0, fps=10,
+        max_points=4096, max_keyframes=16, local_window=512,
+        enable_local_mapping=False,
+    )
+    sysm = System(st, Sensor.STEREO)
+    for i, (l, r) in enumerate(frames):
+        sysm.track_stereo(l, r, i * 0.1)
+    sysm.drain()
+    overlay = render_current_frame(sysm, frames[-1][0])
+    assert overlay.shape == (240, 320, 3)
+    assert overlay.any()
+    out = str(tmp_path / "map.png")
+    plot_map(sysm, out)
+    import os
+
+    assert os.path.getsize(out) > 5000
