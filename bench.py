@@ -14,10 +14,17 @@ value = frames per second and vs_baseline = FPS / 13.70.
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 
 import numpy as np
+
+# Persistent XLA compilation cache: first-run compiles of the fused
+# pipeline are minutes over the remote-compile tunnel; later processes
+# (driver re-runs) load the binaries from disk instead.
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/splslam_jax_cache")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "2")
 
 BASELINE_MS = 72.99  # reference KITTI stereo tracking total, BASELINE.md
 KITTI_W, KITTI_H = 1241, 376

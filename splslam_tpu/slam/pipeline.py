@@ -110,7 +110,8 @@ def assemble_local_window(
 
 
 def assemble_line_window(
-    st: MapState, last_ll_gid: jax.Array, q_local: int, k_top: int = 10
+    st: MapState, last_ll_gid: jax.Array, last_lm_gid_for_lines: jax.Array,
+    q_local: int, k_top: int = 10
 ) -> "LineWindow":
     """Device-side UpdateLocalMapLines (reference Tracking.cc:2012-2022):
     keyframes ranked by shared MAP-LINE count with the last frame (the
@@ -125,6 +126,13 @@ def assemble_line_window(
     kf_ll = st.kfs.ll_idx
     hit = member[jnp.clip(kf_ll, 0)] & (kf_ll >= 0)
     cov = jnp.sum(hit.astype(jnp.int32), axis=1) * st.kfs.valid.astype(jnp.int32)
+    # MapLineRenewing (reference Tracking.cc:2112-2179): when line
+    # tracking decays, lines are re-sourced from the POINT covisibility
+    # graph. A small point-covisibility term keeps point-covisible
+    # keyframes' lines in the window even when no line is being tracked.
+    n_line_cov = jnp.sum(cov)
+    pt_cov = mapmod.covisibility_counts(st, last_lm_gid_for_lines)
+    cov = cov + jnp.where(n_line_cov < 16, pt_cov // 4, 0)
     k_top = min(k_top, cov.shape[0])
     top_cov, top_kf = jax.lax.top_k(cov, k_top)
     rows = st.kfs.ll_idx[top_kf]
@@ -188,7 +196,9 @@ def _track_body(frame, map_state, prev, th_depth_m, ref_kf, cam, scales,
     win = assemble_local_window(map_state, prev.lm_gid, m_local)
     lcap = frame.lines.capacity
     if lcap > 1:
-        lwin = assemble_line_window(map_state, prev.ll_gid, min(1024, 4 * lcap))
+        lwin = assemble_line_window(
+            map_state, prev.ll_gid, prev.lm_gid, min(1024, 4 * lcap)
+        )
     else:
         # line pipeline off (capacity-1 tables) — stages are no-ops
         lwin = LineWindow.empty(1)

@@ -670,6 +670,43 @@ class System:
                 row = Twc[:3, :4].reshape(-1)
                 f.write(" ".join(f"{v:.9e}" for v in row) + "\n")
 
+    def save_keyframe_trajectory_tum(self, path: str):
+        """KeyFrame-only TUM trajectory (reference
+        System::SaveKeyFrameTrajectoryTUM, src/System.cc:397-438)."""
+        self.drain()
+        kf_Tcw = np.asarray(self.map.kfs.Tcw[: self.n_kfs])
+        kf_ts = np.asarray(self.map.kfs.ts[: self.n_kfs])
+        kf_valid = np.asarray(self.map.kfs.valid[: self.n_kfs])
+        with open(path, "w") as f:
+            for k in range(self.n_kfs):
+                if not kf_valid[k]:
+                    continue
+                Twc = np.linalg.inv(kf_Tcw[k])
+                t = Twc[:3, 3]
+                q = _rot_to_quat(Twc[:3, :3])
+                f.write(
+                    f"{float(kf_ts[k]):.6f} {t[0]:.7f} {t[1]:.7f} {t[2]:.7f} "
+                    f"{q[0]:.7f} {q[1]:.7f} {q[2]:.7f} {q[3]:.7f}\n"
+                )
+
+    def get_tracked_map_points(self) -> np.ndarray:
+        """World positions of the landmarks tracked in the current frame
+        (reference System::GetTrackedMapPoints)."""
+        self.drain()
+        if self.step is None:
+            return np.zeros((0, 3), np.float32)
+        gid = np.asarray(self.step.lm_gid)
+        xyz = np.asarray(self.step.lm_xyz)
+        return xyz[gid >= 0]
+
+    def get_tracked_keypoints(self) -> np.ndarray:
+        """Undistorted keypoints of the current frame (reference
+        System::GetTrackedKeyPointsUn)."""
+        self.drain()
+        if self.step is None:
+            return np.zeros((0, 2), np.float32)
+        return np.asarray(self.step.frame.feat.xy)
+
     def poses(self) -> np.ndarray:
         """All per-frame camera-to-world poses [F,4,4] (online estimates)."""
         self.drain()
