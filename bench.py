@@ -34,8 +34,8 @@ def main() -> None:
     from splslam_tpu.io.synthetic import make_stereo_sequence
     from splslam_tpu.slam.system import Sensor, Settings, System
 
-    n_frames = 40
-    warmup = 8
+    n_frames = 64
+    warmup = 9
     K, bf, frames, gt = make_stereo_sequence(
         n_frames=n_frames, width=KITTI_W, height=KITTI_H,
         fx=718.0, baseline=0.54, motion="forward", seed=3,
@@ -49,14 +49,33 @@ def main() -> None:
     )
     sysm = System(st, Sensor.STEREO)
 
+    # Batched tracking: B frames per device dispatch (lax.scan inside the
+    # jit) amortizes the tunnel RPC, and the NEXT batch's H2D transfer is
+    # staged asynchronously while the current batch computes. Tracking
+    # math is identical to the sequential path
+    # (tests/test_e2e_stereo.py equivalence test).
+    B = 8
+    chunks = [frames[i:i + B] for i in range(0, len(frames), B)]
+    tss = [[(i * B + j) * 0.1 for j in range(len(c))]
+           for i, c in enumerate(chunks)]
     times = []
-    for i, (l, r) in enumerate(frames):
+    staged = None
+    # bootstrap (first frame initializes the map)
+    sysm.track_stereo(frames[0][0], frames[0][1], 0.0)
+    chunks[0] = chunks[0][1:]
+    tss[0] = tss[0][1:]
+    staged = sysm.upload_batch(chunks[0]) if chunks[0] else None
+    for ci, chunk in enumerate(chunks):
+        if not chunk:
+            continue
         t0 = time.perf_counter()
-        sysm.track_stereo(l, r, i * 0.1)
-        dt = time.perf_counter() - t0
-        if i >= warmup:
-            times.append(dt)
-        print(f"frame {i}: {dt*1000:.1f} ms state={sysm.state.name}",
+        nxt = sysm.upload_batch(chunks[ci + 1]) if ci + 1 < len(chunks) else None
+        sysm.track_stereo_batch(staged, tss[ci])
+        staged = nxt
+        dt = (time.perf_counter() - t0) / len(chunk)
+        if ci * B >= warmup:
+            times.extend([dt] * len(chunk))
+        print(f"batch {ci}: {dt*1000:.1f} ms/frame state={sysm.state.name}",
               file=sys.stderr)
 
     ms = float(np.median(times) * 1000.0)

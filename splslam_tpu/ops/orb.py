@@ -154,6 +154,14 @@ def rbrief(blurred: jax.Array, xy_int: jax.Array, angle: jax.Array):
     return packed, pm1
 
 
+def _use_pallas() -> bool:
+    return jax.default_backend() == "tpu"
+
+
+def _lane_pad(w: int) -> int:
+    return -(-w // 128) * 128
+
+
 @partial(jax.jit, static_argnames=("spec", "threshold", "cell", "cell_k"))
 def extract_orb(
     image: jax.Array,
@@ -164,15 +172,26 @@ def extract_orb(
 ) -> OrbFeatures:
     """Full multi-level ORB extraction for one grayscale image (H,W) f32.
 
-    One XLA program: pyramid, dense FAST + NMS, spread selection,
-    orientation, blur, rBRIEF — all levels concatenated into a fixed
-    capacity table of spec.total_capacity rows.
+    Detection (pyramid, dense FAST + NMS, grid top-k) runs per level in
+    XLA; orientation + descriptors run in ONE pass over a packed blurred
+    pyramid — a Pallas patch kernel on TPU (ops/orb_pallas.py; patch
+    gathers are the profile-dominant cost in pure XLA), the arithmetic-
+    identical XLA fallback elsewhere.
     """
+    from splslam_tpu.ops import orb_pallas as OP
+
     levels = build_pyramid(image, spec)
-    outs = []
+    Wp = _lane_pad(spec.sizes[0][1])
+    det = []
+    blur_rows = []
+    row_off = []
+    acc = 0
     for lv, img in enumerate(levels):
         H, W = spec.sizes[lv]
         budget = spec.budgets[lv]
+        blur_rows.append(jnp.pad(gaussian_blur(img), ((0, 0), (0, Wp - W))))
+        row_off.append(acc)
+        acc += H
         if budget == 0:
             continue
         score = fast_corners(img, threshold)
@@ -182,21 +201,48 @@ def extract_orb(
         inside = (ys >= b) & (ys < H - b) & (xs >= b) & (xs < W - b)
         score = jnp.where(inside, score, 0.0)
         xy, resp, valid = grid_topk(score, budget, cell=cell, cell_k=cell_k)
-        xy_int = xy.astype(jnp.int32)
-        ang = ic_angle_dense(img, xy_int)
-        blurred = gaussian_blur(img)
-        desc, bits = rbrief(blurred, xy_int, ang)
+        det.append((lv, xy, resp, valid))
+    # Alignment padding for the Pallas kernel's (8,128)-aligned window
+    # loads: 8 extra rows below, 128 extra columns right.
+    packed = jnp.concatenate(
+        blur_rows + [jnp.zeros((8, Wp), jnp.float32)], axis=0
+    )
+    packed = jnp.pad(packed, ((0, 0), (0, 128)))
+
+    cys, cxs = [], []
+    for (lv, xy, resp, valid) in det:
+        xi = xy.astype(jnp.int32)
+        # corner = keypoint - 19 is in-bounds for valid detections (FAST
+        # border = 19 = OP.C); clamp handles the padded/invalid rows.
+        cys.append(jnp.clip(xi[:, 1] - OP.C + row_off[lv], 0, acc - OP.PATCH))
+        cxs.append(jnp.clip(xi[:, 0] - OP.C, 0, Wp - OP.PATCH))
+    corner_y = jnp.concatenate(cys)
+    corner_x = jnp.concatenate(cxs)
+
+    if _use_pallas():
+        ang, desc, bits = OP.patch_orient_describe(packed, corner_y, corner_x)
+    else:
+        ang, desc, bits = OP.patch_orient_describe_xla(
+            packed, corner_y, corner_x
+        )
+
+    outs = []
+    i0 = 0
+    for (lv, xy, resp, valid) in det:
+        budget = xy.shape[0]
         s = spec.scales[lv]
+        sl = slice(i0, i0 + budget)
         outs.append(
             OrbFeatures(
                 xy=xy * s,
                 response=resp,
-                angle=ang,
+                angle=ang[sl],
                 octave=jnp.full((budget,), lv, jnp.int32),
                 sigma2=jnp.full((budget,), spec.sigma2[lv], jnp.float32),
-                desc=desc,
+                desc=desc[sl],
                 valid=valid,
-                bits=bits,
+                bits=bits[sl],
             )
         )
+        i0 += budget
     return OrbFeatures(*[jnp.concatenate(xs, axis=0) for xs in zip(*outs)])

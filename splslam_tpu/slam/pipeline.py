@@ -157,9 +157,66 @@ def assemble_line_window(
 
 @partial(
     jax.jit,
-    static_argnames=("spec", "m_local", "scale_factor", "n_levels", "line_capacity"),
+    static_argnames=("spec", "line_capacity"),
+)
+def build_frames_batch(
+    imgs: jax.Array,   # [B,2,H,W] uint8 stereo pairs
+    cam: Camera,
+    spec: PyramidSpec,
+    line_capacity: int = 1,
+) -> FrameData:
+    """Batched stereo frame construction, sequential inside a lax.scan.
+
+    A separate program from tracking ON PURPOSE — fusing frame build and
+    tracking into one XLA computation sends the TPU compiler into a
+    multi-minute fusion/layout search (measured: the pieces compile in
+    7-60 s, the fusion hangs for 30+ min). scan rather than vmap: the
+    extractor's patch gathers lower to slow batched general-gathers under
+    vmap (measured 89 ms/frame vmapped vs ~16 ms sequential)."""
+
+    def one(_, pair):
+        f = build_frame_stereo(
+            pair[0].astype(jnp.float32), pair[1].astype(jnp.float32),
+            cam, spec, line_capacity=line_capacity,
+        )
+        return None, f
+
+    _, frames = jax.lax.scan(one, None, imgs)
+    return frames
+
+
+@partial(
+    jax.jit,
+    static_argnames=("m_local", "scale_factor", "n_levels"),
     donate_argnames=("map_state",),
 )
+def track_frames_batch(
+    frames: FrameData,   # batched [B, ...] tables from build_frames_batch
+    map_state: MapState,
+    prev: StepState,
+    th_depth_m: jax.Array,
+    ref_kf: jax.Array,
+    cam: Camera,
+    scales: jax.Array,
+    m_local: int = 2048,
+    scale_factor: float = 1.2,
+    n_levels: int = 8,
+) -> tuple[MapState, StepState, jax.Array]:
+    """Sequential tracking over a batch of prebuilt frames inside one
+    lax.scan: the ~30 ms tunnel dispatch amortizes over the batch."""
+
+    def body(carry, frame):
+        mst, st = carry
+        mst, st, stats = _track_body(
+            frame, mst, st, th_depth_m, ref_kf, cam, scales,
+            m_local, scale_factor, n_levels,
+        )
+        return (mst, st), stats
+
+    (map_state, state), stats = jax.lax.scan(body, (map_state, prev), frames)
+    return map_state, state, stats
+
+
 def vo_frame_step(
     imgs: jax.Array,
     map_state: MapState,
@@ -174,18 +231,16 @@ def vo_frame_step(
     n_levels: int = 8,
     line_capacity: int = 8,
 ) -> tuple[MapState, StepState, jax.Array]:
-    """One stereo frame, end to end, on device. Returns
-    (map_state, new_step_state, packed_stats[STATS_LEN]).
-
-    `imgs` is the stacked [2,H,W] stereo pair, any dtype (the host ships
-    uint8: the tunnel to the TPU moves ~22 MB/s, so one packed u8
-    transfer replaces two 4x-bigger f32 ones)."""
-    frame = build_frame_stereo(
-        imgs[0].astype(jnp.float32), imgs[1].astype(jnp.float32), cam, spec,
-        line_capacity=line_capacity,
+    """One stereo frame: two async device dispatches (build, track).
+    Returns (map_state, new_step_state, packed_stats[STATS_LEN])."""
+    frame = build_frames_batch(
+        imgs[None], cam, spec, line_capacity=line_capacity
     )
-    return _track_body(frame, map_state, prev, th_depth_m, ref_kf, cam,
-                       scales, m_local, scale_factor, n_levels)
+    mst, state, stats = track_frames_batch(
+        frame, map_state, prev, th_depth_m, ref_kf, cam, scales,
+        m_local, scale_factor, n_levels,
+    )
+    return mst, state, stats[0]
 
 
 def _track_body(frame, map_state, prev, th_depth_m, ref_kf, cam, scales,
@@ -275,12 +330,33 @@ def _track_body(frame, map_state, prev, th_depth_m, ref_kf, cam, scales,
     return map_state, new_state, stats
 
 
-@partial(
-    jax.jit,
-    static_argnames=("spec", "m_local", "scale_factor", "n_levels",
-                     "with_lines", "line_capacity", "undistort"),
-    donate_argnames=("map_state",),
-)
+def vo_batch_step(
+    imgs: jax.Array,
+    map_state: MapState,
+    prev: StepState,
+    th_depth_m: jax.Array,
+    ref_kf: jax.Array,
+    cam: Camera,
+    spec: PyramidSpec,
+    scales: jax.Array,
+    m_local: int = 2048,
+    scale_factor: float = 1.2,
+    n_levels: int = 8,
+    line_capacity: int = 1,
+) -> tuple[MapState, StepState, jax.Array]:
+    """B stereo frames in TWO device dispatches (reference has no analog —
+    this is the TPU answer to per-frame RPC latency on a tunnel-attached
+    chip): a vmapped frame build, then sequential tracking in a lax.scan.
+
+    `imgs`: [B,2,H,W] uint8. Keyframe decisions happen between batches on
+    the host (stats for every frame come back as [B, STATS_LEN])."""
+    frames = build_frames_batch(imgs, cam, spec, line_capacity=line_capacity)
+    return track_frames_batch(
+        frames, map_state, prev, th_depth_m, ref_kf, cam, scales,
+        m_local, scale_factor, n_levels,
+    )
+
+
 def vo_frame_step_mono(
     image: jax.Array,
     map_state: MapState,
@@ -297,9 +373,10 @@ def vo_frame_step_mono(
     line_capacity: int = 128,
     undistort: bool = False,
 ) -> tuple[MapState, StepState, jax.Array]:
-    """Monocular fused step (reference GrabImageMonocular -> Track /
-    TrackBoth, src/Tracking.cc:360-417): frame build (ORB + optional
-    lines) + tracking in one program."""
+    """Monocular step (reference GrabImageMonocular -> Track / TrackBoth,
+    src/Tracking.cc:360-417): frame build + tracking as two async
+    dispatches (fusing them hangs the TPU compiler; see
+    build_frames_batch)."""
     from splslam_tpu.slam.frame import build_frame_mono
 
     frame = build_frame_mono(
@@ -307,8 +384,12 @@ def vo_frame_step_mono(
         undistort=undistort, with_lines=with_lines,
         line_capacity=line_capacity,
     )
-    return _track_body(frame, map_state, prev, th_depth_m, ref_kf, cam,
-                       scales, m_local, scale_factor, n_levels)
+    frame_b = jax.tree.map(lambda x: x[None], frame)
+    mst, state, stats = track_frames_batch(
+        frame_b, map_state, prev, th_depth_m, ref_kf, cam, scales,
+        m_local, scale_factor, n_levels,
+    )
+    return mst, state, stats[0]
 
 
 @partial(
@@ -357,11 +438,6 @@ def add_keyframe_step(
     return map_state, new_state, out
 
 
-@partial(
-    jax.jit,
-    static_argnames=("spec", "m_local", "scale_factor", "n_levels", "depth_factor", "line_capacity"),
-    donate_argnames=("map_state",),
-)
 def vo_frame_step_rgbd(
     image: jax.Array,
     depth_map: jax.Array,
@@ -378,13 +454,17 @@ def vo_frame_step_rgbd(
     depth_factor: float = 1.0,
     line_capacity: int = 8,
 ) -> tuple[MapState, StepState, jax.Array]:
-    """RGB-D variant of vo_frame_step (reference GrabImageRGBD ->
-    point-only Track, src/Tracking.cc:327-358)."""
+    """RGB-D step (reference GrabImageRGBD -> point-only Track,
+    src/Tracking.cc:327-358): two async dispatches."""
     from splslam_tpu.slam.frame import build_frame_rgbd
 
     frame = build_frame_rgbd(
         image.astype(jnp.float32), depth_map.astype(jnp.float32), cam, spec,
         depth_factor=depth_factor, line_capacity=line_capacity,
     )
-    return _track_body(frame, map_state, prev, th_depth_m, ref_kf, cam,
-                       scales, m_local, scale_factor, n_levels)
+    frame_b = jax.tree.map(lambda x: x[None], frame)
+    mst, state, stats = track_frames_batch(
+        frame_b, map_state, prev, th_depth_m, ref_kf, cam, scales,
+        m_local, scale_factor, n_levels,
+    )
+    return mst, state, stats[0]

@@ -305,6 +305,85 @@ class System:
         )
         return self._enqueue_step(new_step, stats_dev, timestamp)
 
+    def upload_batch(self, pairs) -> "jax.Array":
+        """Asynchronously stage a batch of stereo pairs on device
+        ([B,2,H,W] uint8). Call for batch i+1 right after dispatching
+        batch i: the H2D transfer overlaps the device compute (the
+        tunnel-attached chip moves ~30 MB/s, so an 8-frame batch costs
+        ~250 ms of transfer that this hides)."""
+        arr = np.stack(
+            [np.stack([np.asarray(l), np.asarray(r)]) for l, r in pairs]
+        ).astype(np.uint8)
+        return jax.device_put(arr)
+
+    def track_stereo_batch(self, pairs, timestamps) -> np.ndarray:
+        """Track a batch of stereo frames in ONE device dispatch
+        (pipeline.vo_batch_step). Returns the last frame's Tcw. Keyframe
+        decisions run between batches; with B in the 4-16 range the
+        keyframe lag is below the reference's own keyframe cadence."""
+        t0 = time.perf_counter()
+        B = len(pairs) if not isinstance(pairs, jax.Array) else pairs.shape[0]
+        if self.state in (TrackingState.NO_IMAGES_YET,
+                          TrackingState.NOT_INITIALIZED) or self.step is None:
+            if isinstance(pairs, jax.Array):
+                first = (np.asarray(pairs[0, 0]), np.asarray(pairs[0, 1]))
+                rest = pairs[1:]
+            else:
+                first = pairs[0]
+                rest = pairs[1:]
+            # bootstrap on the first frame, then batch the rest
+            out = self.track_stereo(first[0], first[1], timestamps[0])
+            if B > 1:
+                return self.track_stereo_batch(rest, timestamps[1:])
+            return out
+        if isinstance(pairs, jax.Array):
+            imgs = pairs  # already staged by upload_batch
+        else:
+            imgs = self.upload_batch(pairs)
+        self.map, new_step, stats_dev = pipeline.vo_batch_step(
+            imgs, self.map, self.step,
+            self._th_depth_dev, jnp.int32(self.ref_kf),
+            self.cam, self.spec, self.scales,
+            m_local=self.settings.local_window,
+            scale_factor=self.settings.scale_factor,
+            n_levels=self.settings.n_levels,
+            line_capacity=self.line_cap,
+        )
+        self.step = new_step
+        self.frame_id += B
+        stats = np.asarray(stats_dev)   # one fetch per batch
+        self._resolve_kf_out()
+        for b in range(B):
+            row = stats[b]
+            n_in = int(row[pipeline.S_N_IN])
+            Tcw_np = row[pipeline.S_POSE].reshape(4, 4).astype(np.float32)
+            lost = n_in < 10
+            if lost:
+                self.state = TrackingState.LOST
+                self._frames_lost += 1
+            else:
+                self.state = TrackingState.OK
+                self._frames_lost = 0
+                self.last_Tcw_np = Tcw_np
+            self._log_frame(timestamps[b], Tcw_np, lost=lost)
+            self.frames_since_kf += 1
+        # keyframe policy on the batch's final frame (its FrameData is
+        # the only one retained on device)
+        if (self.state == TrackingState.OK and not self.localization_only
+                and self._need_new_keyframe(stats[-1],
+                                            int(stats[-1][pipeline.S_N_IN]))):
+            # remove the tail log entry; _create_keyframe path re-logs
+            self.trajectory.pop()
+            self.frames_since_kf -= 1
+            self._create_keyframe(self.step, self.last_Tcw_np, timestamps[-1])
+            self._log_frame(timestamps[-1], self.last_Tcw_np, lost=False)
+            self.frames_since_kf = 0
+        self.timers.add(
+            "Tracking total / frame",
+            (time.perf_counter() - t0) * 1e3 / max(B, 1),
+        )
+        return self.last_Tcw_np.copy()
+
     def track_rgbd(self, img, depth, timestamp: float) -> np.ndarray:
         t0 = time.perf_counter()
         try:

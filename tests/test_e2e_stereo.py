@@ -69,3 +69,36 @@ class TestStereoVO:
         est = sysm.poses()
         err = ate_rmse(est, gt)
         assert err < 0.05, err
+
+    def test_batched_equals_sequential(self):
+        """vo_batch_step (B frames per dispatch) must produce the same
+        trajectory as per-frame tracking."""
+        from splslam_tpu.io.synthetic import make_stereo_sequence
+
+        K, bf, frames, gt = make_stereo_sequence(
+            n_frames=12, motion="forward", width=320, height=240
+        )
+        st = Settings(
+            fx=float(K[0, 0]), fy=float(K[1, 1]), cx=float(K[0, 2]),
+            cy=float(K[1, 2]), bf=float(bf), width=320, height=240,
+            n_features=600, n_levels=4, th_depth=40.0, fps=10,
+            max_points=8192, max_keyframes=64, local_window=1024,
+            enable_local_mapping=False,
+        )
+        s1 = System(st, Sensor.STEREO)
+        for i, (l, r) in enumerate(frames):
+            s1.track_stereo(l, r, i * 0.1)
+        s1.drain()
+        s2 = System(st, Sensor.STEREO)
+        i = 0
+        while i < len(frames):
+            chunk = frames[i:i + 4]
+            s2.track_stereo_batch(
+                chunk, [j * 0.1 for j in range(i, i + len(chunk))]
+            )
+            i += len(chunk)
+        s2.drain()
+        p1 = s1.poses()
+        p2 = s2.poses()
+        assert p1.shape == p2.shape
+        np.testing.assert_allclose(p1, p2, atol=1e-4)
