@@ -207,7 +207,9 @@ def extract_orb(
     packed = jnp.concatenate(
         blur_rows + [jnp.zeros((8, Wp), jnp.float32)], axis=0
     )
-    packed = jnp.pad(packed, ((0, 0), (0, 128)))
+    # bf16 halves the copy traffic of the patch stage; 256 pad columns
+    # cover the kernel's lane-aligned 256-wide DMA windows.
+    packed = jnp.pad(packed, ((0, 0), (0, 256))).astype(jnp.bfloat16)
 
     cys, cxs = [], []
     for (lv, xy, resp, valid) in det:

@@ -2,26 +2,36 @@
 
 The profile-dominant cost of frame building is per-keypoint patch access:
 XLA lowers the 31x31 orientation window (961 taps) and the 512 rBRIEF
-samples per keypoint to general gathers at ~6 cycles/tap — ~29 ms of the
-32 ms per KITTI image. This kernel keeps the (blurred) image pyramid
-RESIDENT IN VMEM and processes KP_BLOCK keypoints per grid step (TPU
-block tiling wants output sublanes in multiples of 8):
+samples per keypoint to general gathers — ~29 ms of the 32 ms per KITTI
+image in f32. This kernel DMAs each keypoint's window from the packed
+HBM pyramid into VMEM scratch and processes KP_BLOCK keypoints per grid
+step. Measured on v5e it matches the XLA gather path (~19 ms/image in
+bf16; several structures tried — per-keypoint matmuls, batched
+block-one-hot matmuls, full-VMEM residency — all land within noise,
+suggesting the cost is the per-keypoint serialization itself, not the
+memory system). It is kept as the TPU default because it pins the patch
+working set in VMEM (no multi-MB gather intermediates) and is the
+natural place for further fusion; the honest win so far came from bf16
+packing (frame build 65 -> 52 ms for a stereo pair).
 
-  - each 40x40 patch is ONE dynamic slice (vector loads, no gather);
-  - intensity-centroid moments are masked 40x40 reductions (VPU);
-  - the 256 rotated BRIEF point-pairs are read with a one-hot
-    select-reduce over the flattened patch (compare + where + sum —
-    pure vector ops, no scalar loop);
+  - each keypoint's (8,128)-aligned (48,168) window is vector-loaded
+    (no gather); moments and sample selection carry the (row, col)
+    alignment remainders in their index arithmetic;
+  - intensity-centroid moments are masked window reductions (VPU);
+  - ALL keypoints' 2x256 rotated BRIEF samples per step are read with
+    TWO large one-hot matmuls over the stacked windows (a per-keypoint
+    matmul is MXU-latency-bound — measured ~12 us/keypoint; batching
+    across the block turns it into ~1K-cycle matmuls);
   - bit words pack outside the kernel (cheap XLA shifts).
 
 The pyramid is packed row-wise into a single [R, Wp] buffer (levels
-stacked vertically, width padded to the lane multiple), so one kernel
-invocation serves every level. Keypoint coordinates arrive as
-scalar-prefetch arrays so the slice offsets are known up front
+stacked vertically, width padded to the lane multiple + 128 alignment
+columns, 8 alignment rows at the bottom), so one kernel invocation
+serves every level. Keypoint corners arrive as scalar-prefetch arrays
 (pltpu.PrefetchScalarGridSpec).
 
 `interpret=True` runs the same kernel on CPU for tests;
-`patch_orient_describe_xla` is the arithmetic-identical pure-XLA
+`patch_orient_describe_xla` is the arithmetic-equivalent pure-XLA
 fallback used on non-TPU backends.
 """
 
@@ -36,103 +46,114 @@ from jax.experimental.pallas import tpu as pltpu
 
 from splslam_tpu.ops.orb import _PATTERN
 
-PATCH = 40  # rotated BRIEF offsets reach +-19 px (pattern radius 13*sqrt2)
+PATCH = 40   # rotated BRIEF offsets reach +-19 px (pattern radius 13*sqrt2)
 WIN_R = 48   # loaded rows: patch + up to 7 sublane-alignment rows
-WIN_C = 168  # loaded cols: patch + up to 127 lane-alignment cols
-#             (Mosaic vector loads need (8,128)-aligned starts)
-C = 19      # patch center; equals the detector's EDGE_THRESHOLD border,
-#             so corner = keypoint - 19 is in-bounds by construction
-R_C = 15    # IC-angle circle radius (reference HALF_PATCH_SIZE)
-KP_BLOCK = 32  # keypoints per grid step (amortizes per-step overhead)
+WIN_C = 256  # loaded cols: patch + alignment (DMA slice widths
+#              must be multiples of the 128-lane tiling)
+C = 19       # patch center; equals the detector's EDGE_THRESHOLD border,
+#              so corner = keypoint - 19 is in-bounds by construction
+R_C = 15     # IC-angle circle radius (reference HALF_PATCH_SIZE)
+KP_BLOCK = 8  # keypoints per grid step (output sublane tiling)
 
 
-def _extract_patch(win, r8, rc):
-    """(48,168) aligned window + (row, col) remainders -> exact (40,40)
-    patch via two one-hot selection matmuls (MXU work; in-vector dynamic
-    slices are not lowerable)."""
-    rows_i = jax.lax.broadcasted_iota(jnp.int32, (PATCH, WIN_R), 0)
-    rows_j = jax.lax.broadcasted_iota(jnp.int32, (PATCH, WIN_R), 1)
-    rowsel = (rows_j == rows_i + r8).astype(jnp.float32)      # [40,48]
-    cols_i = jax.lax.broadcasted_iota(jnp.int32, (WIN_C, PATCH), 0)
-    cols_j = jax.lax.broadcasted_iota(jnp.int32, (WIN_C, PATCH), 1)
-    colsel = (cols_i == cols_j + rc).astype(jnp.float32)      # [168,40]
-    return jnp.dot(
-        jnp.dot(rowsel, win, preferred_element_type=jnp.float32),
-        colsel, preferred_element_type=jnp.float32,
-    )
-
-
-def _one_keypoint(patch, pat):
-    """(40,40) patch + (256,4) pattern -> (m10, m01, bits [256] f32).
-
-    No atan2 in the kernel (unimplemented in Pallas TPU lowering — and
-    unnecessary): the steering rotation only needs cos/sin, which are
-    m10/r and m01/r; the angle itself is recovered outside the kernel."""
-    ys = jax.lax.broadcasted_iota(
-        jnp.int32, (PATCH, PATCH), 0
-    ).astype(jnp.float32) - C
-    xs = jax.lax.broadcasted_iota(
-        jnp.int32, (PATCH, PATCH), 1
-    ).astype(jnp.float32) - C
-    circle = (ys * ys + xs * xs) <= float(R_C * R_C)
-    w = jnp.where(circle, 1.0, 0.0)
-    m10 = jnp.sum(patch * (xs * w))
-    m01 = jnp.sum(patch * (ys * w))
-    r = jnp.sqrt(m10 * m10 + m01 * m01)
-    safe = r > 1e-9
-    ca = jnp.where(safe, m10 / jnp.where(safe, r, 1.0), 1.0)
-    sa = jnp.where(safe, m01 / jnp.where(safe, r, 1.0), 0.0)
-    x1, y1, x2, y2 = pat[:, 0], pat[:, 1], pat[:, 2], pat[:, 3]
-    rx1 = jnp.round(ca * x1 - sa * y1).astype(jnp.int32) + C
-    ry1 = jnp.round(sa * x1 + ca * y1).astype(jnp.int32) + C
-    rx2 = jnp.round(ca * x2 - sa * y2).astype(jnp.int32) + C
-    ry2 = jnp.round(sa * x2 + ca * y2).astype(jnp.int32) + C
-    # Sample the 256 rotated pairs with a row-selection matmul (MXU)
-    # followed by a column-select reduce (VPU) — no flat reshape (TPU
-    # vector reshapes need tile-aligned shapes) and no gather.
-    cols = jax.lax.broadcasted_iota(jnp.int32, (256, PATCH), 1)
-
-    def sample(ry, rx):
-        rowsel = (cols == ry[:, None]).astype(jnp.float32)   # [256,40]
-        picked = jnp.dot(rowsel, patch,
-                         preferred_element_type=jnp.float32)  # [256,40]
-        colsel = (cols == rx[:, None]).astype(jnp.float32)
-        return jnp.sum(picked * colsel, axis=1)
-
-    v1 = sample(ry1, rx1)
-    v2 = sample(ry2, rx2)
-    return m10, m01, (v1 < v2).astype(jnp.float32)
-
-
-def _kernel(ky_ref, kx_ref, img_ref, pat_ref, ang_ref, bits_ref):
+def _kernel(ky_ref, kx_ref, img_ref, pat_ref, ang_ref, bits_ref,
+            win_scratch, dma_sems):
     i = pl.program_id(0)
     pat = pat_ref[:]
-    m10s = []
-    m01s = []
-    bits = []
+    x1, y1, x2, y2 = pat[:, 0], pat[:, 1], pat[:, 2], pat[:, 3]
+
+    ys_w = jax.lax.broadcasted_iota(
+        jnp.int32, (WIN_R, WIN_C), 0
+    ).astype(jnp.float32)
+    xs_w = jax.lax.broadcasted_iota(
+        jnp.int32, (WIN_R, WIN_C), 1
+    ).astype(jnp.float32)
+    g_rows = jax.lax.broadcasted_iota(jnp.int32, (256, KP_BLOCK * WIN_R), 1)
+    g_cols = jax.lax.broadcasted_iota(jnp.int32, (256, WIN_C), 1)
+
+    # Start all window DMAs (HBM -> VMEM scratch) before computing: the
+    # image stays in HBM — a full-array VMEM block would be re-copied
+    # EVERY grid step by the pipeline (~2.5 GB of traffic per frame).
+    for j in range(KP_BLOCK):
+        k = i * KP_BLOCK + j
+        y8 = (ky_ref[k] // 8) * 8
+        x128 = (kx_ref[k] // 128) * 128
+        pltpu.make_async_copy(
+            img_ref.at[
+                pl.ds(pl.multiple_of(y8, 8), WIN_R),
+                pl.ds(pl.multiple_of(x128, 128), WIN_C),
+            ],
+            win_scratch.at[j],
+            dma_sems.at[j],
+        ).start()
+
+    wins = []
+    moments = []
+    sel_r1, sel_r2, sel_c1, sel_c2 = [], [], [], []
     for j in range(KP_BLOCK):
         k = i * KP_BLOCK + j
         y0 = ky_ref[k]
         x0 = kx_ref[k]
         y8 = (y0 // 8) * 8
         x128 = (x0 // 128) * 128
-        win = img_ref[
-            pl.ds(pl.multiple_of(y8, 8), WIN_R),
-            pl.ds(pl.multiple_of(x128, 128), WIN_C),
-        ]
-        patch = _extract_patch(win, y0 - y8, x0 - x128)
-        a10, a01, b = _one_keypoint(patch, pat)
-        m10s.append(a10)
-        m01s.append(a01)
-        bits.append(b)
-    m = jnp.stack([jnp.stack(m10s), jnp.stack(m01s)], axis=1)  # [8,2]
+        r8 = y0 - y8
+        rc = x0 - x128
+        pltpu.make_async_copy(
+            img_ref.at[
+                pl.ds(pl.multiple_of(y8, 8), WIN_R),
+                pl.ds(pl.multiple_of(x128, 128), WIN_C),
+            ],
+            win_scratch.at[j],
+            dma_sems.at[j],
+        ).wait()
+        win = win_scratch[j].astype(jnp.float32)
+        wins.append(win)
+
+        # IC moments with the remainders folded into the coordinates.
+        dy = ys_w - r8.astype(jnp.float32) - C
+        dx = xs_w - rc.astype(jnp.float32) - C
+        w = jnp.where(dy * dy + dx * dx <= float(R_C * R_C), 1.0, 0.0)
+        m10 = jnp.sum(win * (dx * w))
+        m01 = jnp.sum(win * (dy * w))
+        r = jnp.sqrt(m10 * m10 + m01 * m01)
+        safe = r > 1e-9
+        ca = jnp.where(safe, m10 / jnp.where(safe, r, 1.0), 1.0)
+        sa = jnp.where(safe, m01 / jnp.where(safe, r, 1.0), 0.0)
+        moments.append((m10, m01))
+
+        # Rotated sample coordinates within the window frame.
+        rx1 = jnp.round(ca * x1 - sa * y1).astype(jnp.int32) + C + rc
+        ry1 = jnp.round(sa * x1 + ca * y1).astype(jnp.int32) + C + r8
+        rx2 = jnp.round(ca * x2 - sa * y2).astype(jnp.int32) + C + rc
+        ry2 = jnp.round(sa * x2 + ca * y2).astype(jnp.int32) + C + r8
+        base = j * WIN_R
+        sel_r1.append((g_rows == ry1[:, None] + base).astype(jnp.float32))
+        sel_r2.append((g_rows == ry2[:, None] + base).astype(jnp.float32))
+        sel_c1.append((g_cols == rx1[:, None]).astype(jnp.float32))
+        sel_c2.append((g_cols == rx2[:, None]).astype(jnp.float32))
+
+    W = jnp.concatenate(wins, axis=0)                  # [8*48, 168]
+    R1 = jnp.concatenate(sel_r1, axis=0)               # [2048, 384]
+    R2 = jnp.concatenate(sel_r2, axis=0)
+    C1 = jnp.concatenate(sel_c1, axis=0)               # [2048, 168]
+    C2 = jnp.concatenate(sel_c2, axis=0)
+    picked1 = jnp.dot(R1, W, preferred_element_type=jnp.float32)
+    picked2 = jnp.dot(R2, W, preferred_element_type=jnp.float32)
+    v1 = jnp.sum(picked1 * C1, axis=1)                 # [2048]
+    v2 = jnp.sum(picked2 * C2, axis=1)
+    bits = (v1 < v2).astype(jnp.float32).reshape(KP_BLOCK, 256)
+    bits_ref[:, :] = bits
+
+    m = jnp.stack(
+        [jnp.stack([a for a, _ in moments]),
+         jnp.stack([b for _, b in moments])], axis=1
+    )                                                   # [8,2]
     ang_ref[:, :] = jnp.pad(m, ((0, 0), (0, 126)))
-    bits_ref[:, :] = jnp.stack(bits)               # [8,256]
 
 
 @partial(jax.jit, static_argnames=("interpret",))
 def patch_orient_describe(
-    packed: jax.Array,    # [R, Wp] f32 blurred packed pyramid
+    packed: jax.Array,    # [R, Wp] f32/bf16 blurred packed pyramid
     corner_y: jax.Array,  # [N] i32 patch top-left rows (pre-clamped)
     corner_x: jax.Array,  # [N] i32 patch top-left cols
     interpret: bool = False,
@@ -151,12 +172,16 @@ def patch_orient_describe(
         num_scalar_prefetch=2,
         grid=(n_pad // KP_BLOCK,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ],
         out_specs=[
             pl.BlockSpec((KP_BLOCK, 128), lambda i, ky, kx: (i, 0)),
             pl.BlockSpec((KP_BLOCK, 256), lambda i, ky, kx: (i, 0)),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((KP_BLOCK, WIN_R, WIN_C), packed.dtype),
+            pltpu.SemaphoreType.DMA((KP_BLOCK,)),
         ],
     )
     ang, bits01 = pl.pallas_call(
@@ -180,7 +205,7 @@ def patch_orient_describe(
 def patch_orient_describe_xla(
     packed: jax.Array, corner_y: jax.Array, corner_x: jax.Array,
 ):
-    """Pure-XLA fallback with identical sampling arithmetic (used on CPU
+    """Pure-XLA fallback with equivalent sampling arithmetic (used on CPU
     and for the kernel-equivalence test). Same outputs as the kernel."""
     n = corner_y.shape[0]
     R, Wp = packed.shape
@@ -191,7 +216,7 @@ def patch_orient_describe_xla(
     flat_idx = rows[:, :, None] * Wp + cols[:, None, :]
     patches = jnp.take(packed.reshape(-1), flat_idx.reshape(-1)).reshape(
         n, PATCH, PATCH
-    )
+    ).astype(jnp.float32)
     ys = (dy - C).astype(jnp.float32)
     xs = (dx - C).astype(jnp.float32)
     circle = (ys[:, None] ** 2 + xs[None, :] ** 2) <= float(R_C * R_C)
@@ -200,7 +225,7 @@ def patch_orient_describe_xla(
     m01 = jnp.sum(patches * (ys[None, :, None] * w[None]), axis=(1, 2))
     ang = jnp.arctan2(m01, m10)
     # cos/sin via the moment norm — the same arithmetic as the kernel, so
-    # rotated-coordinate rounding matches bit for bit.
+    # rotated-coordinate rounding matches.
     r = jnp.sqrt(m10 * m10 + m01 * m01)
     safe = r > 1e-9
     ca = jnp.where(safe, m10 / jnp.where(safe, r, 1.0), 1.0)[:, None]

@@ -13,7 +13,9 @@ from splslam_tpu.ops.orb_pallas import (
 def test_kernel_matches_xla_fallback():
     rng = np.random.default_rng(0)
     R, Wp = 256, 256
-    packed = jnp.asarray(rng.uniform(0, 255, (R, Wp)).astype(np.float32))
+    packed = jnp.asarray(
+        rng.uniform(0, 255, (R, Wp)).astype(np.float32)
+    ).astype(jnp.bfloat16)  # extract_orb packs the blurred pyramid in bf16
     n = 24
     # the kernel loads (8,128)-aligned windows of (48,168): keep 8 pad
     # rows and 128 pad cols (extract_orb pads the packed pyramid so)
