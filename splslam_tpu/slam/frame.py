@@ -81,19 +81,27 @@ def build_frame_stereo(
 ) -> FrameData:
     """Stereo frame: dual ORB extraction + row-constrained stereo matching
     with subpixel disparity (reference Frame ctor src/Frame.cc:99-155).
-    Point-only, matching the reference's stereo behavior envelope
-    (src/Tracking.cc:321-323 always takes the point path for stereo)."""
+
+    The reference keeps stereo point-only (src/Tracking.cc:321-323, an
+    acknowledged "not yet extended" limitation, include/Tracking.h:142);
+    here a line_capacity > 1 extracts lines from the left image so the
+    point+line pipeline works on every sensor (SURVEY §7 requirement) —
+    the default capacity 1 reproduces the reference's envelope."""
     feat_l = extract_orb(img_left, spec)
     feat_r = extract_orb(img_right, spec)
     scales = jnp.array(spec.scales, jnp.float32)
     u_right, depth = stereo_match(
         feat_l, feat_r, img_left, img_right, scales, cam.bf, cam.fx
     )
+    if line_capacity > 1:
+        lines = extract_lines(img_left, capacity=line_capacity)
+    else:
+        lines = LineFeatures.empty(line_capacity)
     return FrameData(
         feat=feat_l,
         u_right=u_right,
         depth=depth,
-        lines=LineFeatures.empty(line_capacity),
+        lines=lines,
     )
 
 
@@ -106,12 +114,17 @@ def build_frame_rgbd(
     depth_factor: float = 1.0,
     line_capacity: int = 8,
 ) -> FrameData:
-    """RGB-D frame (reference Frame ctor src/Frame.cc:157-210)."""
+    """RGB-D frame (reference Frame ctor src/Frame.cc:157-210); lines
+    extracted when line_capacity > 1 (see build_frame_stereo)."""
     feat = extract_orb(image, spec)
     u_right, depth = depth_from_rgbd(feat, depth_map, cam.bf, depth_factor)
+    if line_capacity > 1:
+        lines = extract_lines(image, capacity=line_capacity)
+    else:
+        lines = LineFeatures.empty(line_capacity)
     return FrameData(
         feat=feat,
         u_right=u_right,
         depth=depth,
-        lines=LineFeatures.empty(line_capacity),
+        lines=lines,
     )

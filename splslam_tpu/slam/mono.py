@@ -396,5 +396,6 @@ def track_mono_impl(system, image: jax.Array, ts: float) -> np.ndarray:
         with_lines=s.settings.using_line,
         line_capacity=s.line_cap,
         undistort=s.settings.has_distortion,
+        loc_mode=jnp.bool_(s.localization_only),
     )
     return s._enqueue_step(new_step, stats_dev, ts)

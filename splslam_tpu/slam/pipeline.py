@@ -201,6 +201,7 @@ def track_frames_batch(
     m_local: int = 2048,
     scale_factor: float = 1.2,
     n_levels: int = 8,
+    loc_mode: jax.Array | bool = False,
 ) -> tuple[MapState, StepState, jax.Array]:
     """Sequential tracking over a batch of prebuilt frames inside one
     lax.scan: the ~30 ms tunnel dispatch amortizes over the batch."""
@@ -209,7 +210,7 @@ def track_frames_batch(
         mst, st = carry
         mst, st, stats = _track_body(
             frame, mst, st, th_depth_m, ref_kf, cam, scales,
-            m_local, scale_factor, n_levels,
+            m_local, scale_factor, n_levels, loc_mode,
         )
         return (mst, st), stats
 
@@ -230,6 +231,7 @@ def vo_frame_step(
     scale_factor: float = 1.2,
     n_levels: int = 8,
     line_capacity: int = 8,
+    loc_mode: jax.Array | bool = False,
 ) -> tuple[MapState, StepState, jax.Array]:
     """One stereo frame: two async device dispatches (build, track).
     Returns (map_state, new_step_state, packed_stats[STATS_LEN])."""
@@ -238,16 +240,28 @@ def vo_frame_step(
     )
     mst, state, stats = track_frames_batch(
         frame, map_state, prev, th_depth_m, ref_kf, cam, scales,
-        m_local, scale_factor, n_levels,
+        m_local, scale_factor, n_levels, loc_mode,
     )
     return mst, state, stats[0]
 
 
 def _track_body(frame, map_state, prev, th_depth_m, ref_kf, cam, scales,
-                m_local, scale_factor, n_levels):
+                m_local, scale_factor, n_levels, loc_mode=False):
     from splslam_tpu.slam.tracking import LineWindow
 
     T_pred = prev.velocity @ prev.Tcw
+    # Localization-mode temporal VO points (reference UpdateLastFrame,
+    # src/Tracking.cc:1707): unproject the previous frame's depth for
+    # features without landmarks; gid -2 = pose-only anchor.
+    f = prev.frame
+    synth = loc_mode & (f.depth > 0) & (prev.lm_gid == -1) & f.feat.valid
+    Twc_prev = jnp.linalg.inv(prev.Tcw)
+    zp = jnp.maximum(f.depth, 1e-6)
+    xc = (f.feat.xy[:, 0] - cam.cx) / cam.fx * zp
+    yc = (f.feat.xy[:, 1] - cam.cy) / cam.fy * zp
+    pw = jnp.stack([xc, yc, zp], -1) @ Twc_prev[:3, :3].T + Twc_prev[:3, 3]
+    last_gid = jnp.where(synth, -2, prev.lm_gid)
+    last_xyz = jnp.where(synth[:, None], pw, prev.lm_xyz)
     win = assemble_local_window(map_state, prev.lm_gid, m_local)
     lcap = frame.lines.capacity
     if lcap > 1:
@@ -261,7 +275,7 @@ def _track_body(frame, map_state, prev, th_depth_m, ref_kf, cam, scales,
         cam, scales, frame,
         prev.frame.feat.xy, prev.frame.feat.octave, prev.frame.feat.angle,
         prev.frame.feat.bits,
-        prev.lm_xyz, prev.lm_gid,
+        last_xyz, last_gid,
         T_pred, win,
         prev.frame.lines, prev.ll_gid, prev.ll_mid, prev.ll_len,
         lwin,
@@ -343,17 +357,18 @@ def vo_batch_step(
     scale_factor: float = 1.2,
     n_levels: int = 8,
     line_capacity: int = 1,
+    loc_mode: jax.Array | bool = False,
 ) -> tuple[MapState, StepState, jax.Array]:
     """B stereo frames in TWO device dispatches (reference has no analog —
     this is the TPU answer to per-frame RPC latency on a tunnel-attached
-    chip): a vmapped frame build, then sequential tracking in a lax.scan.
+    chip): a scanned frame build, then sequential tracking in a lax.scan.
 
     `imgs`: [B,2,H,W] uint8. Keyframe decisions happen between batches on
     the host (stats for every frame come back as [B, STATS_LEN])."""
     frames = build_frames_batch(imgs, cam, spec, line_capacity=line_capacity)
     return track_frames_batch(
         frames, map_state, prev, th_depth_m, ref_kf, cam, scales,
-        m_local, scale_factor, n_levels,
+        m_local, scale_factor, n_levels, loc_mode,
     )
 
 
@@ -372,6 +387,7 @@ def vo_frame_step_mono(
     with_lines: bool = False,
     line_capacity: int = 128,
     undistort: bool = False,
+    loc_mode: jax.Array | bool = False,
 ) -> tuple[MapState, StepState, jax.Array]:
     """Monocular step (reference GrabImageMonocular -> Track / TrackBoth,
     src/Tracking.cc:360-417): frame build + tracking as two async
@@ -387,7 +403,7 @@ def vo_frame_step_mono(
     frame_b = jax.tree.map(lambda x: x[None], frame)
     mst, state, stats = track_frames_batch(
         frame_b, map_state, prev, th_depth_m, ref_kf, cam, scales,
-        m_local, scale_factor, n_levels,
+        m_local, scale_factor, n_levels, loc_mode,
     )
     return mst, state, stats[0]
 
@@ -453,6 +469,7 @@ def vo_frame_step_rgbd(
     n_levels: int = 8,
     depth_factor: float = 1.0,
     line_capacity: int = 8,
+    loc_mode: jax.Array | bool = False,
 ) -> tuple[MapState, StepState, jax.Array]:
     """RGB-D step (reference GrabImageRGBD -> point-only Track,
     src/Tracking.cc:327-358): two async dispatches."""

@@ -302,6 +302,7 @@ class System:
             scale_factor=self.settings.scale_factor,
             n_levels=self.settings.n_levels,
             line_capacity=self.line_cap,
+            loc_mode=jnp.bool_(self.localization_only),
         )
         return self._enqueue_step(new_step, stats_dev, timestamp)
 
@@ -348,6 +349,7 @@ class System:
             scale_factor=self.settings.scale_factor,
             n_levels=self.settings.n_levels,
             line_capacity=self.line_cap,
+            loc_mode=jnp.bool_(self.localization_only),
         )
         self.step = new_step
         self.frame_id += B
@@ -414,6 +416,7 @@ class System:
             n_levels=self.settings.n_levels,
             depth_factor=self.settings.depth_map_factor,
             line_capacity=self.line_cap,
+            loc_mode=jnp.bool_(self.localization_only),
         )
         return self._enqueue_step(new_step, stats_dev, timestamp)
 

@@ -285,7 +285,11 @@ def track_step(
     inv_sig2 = 1.0 / cur.feat.sigma2
 
     # ---- stage 1: motion model (points) ----
-    last_lm_ok = last_lm_gid >= 0
+    # gid -2 marks TEMPORAL visual-odometry points (localization mode,
+    # reference UpdateLastFrame src/Tracking.cc:1707-1771: last-frame
+    # stereo depth unprojected into throwaway landmarks); they anchor the
+    # pose solve but never enter the map.
+    last_lm_ok = last_lm_gid != -1
     mm, mm_d = motion_model_match(
         cam, scales, T_pred, cur, last_xy, last_octave, last_angle,
         last_bits, last_lm_xyz, last_lm_ok, th_motion,
@@ -316,7 +320,7 @@ def track_step(
 
     pts_obs = PointObs(
         xyz_w=assoc_xyz, uv=cur.feat.xy, inv_sigma2=inv_sig2,
-        mask=assoc_gid >= 0,
+        mask=assoc_gid != -1,
     )
     ln_obs = _line_obs_from_assoc(cur.lines, ll_gid, ll_mid)
     with_lines = Lc > 1  # static: line tables collapse to 1 slot when off
@@ -335,7 +339,7 @@ def track_step(
 
     # ---- stage 2: local map (points) ----
     lm_mt, lm_visible, lm_d = local_map_match(
-        cam, scales, res1.Tcw, cur, win, assoc_gid >= 0,
+        cam, scales, res1.Tcw, cur, win, assoc_gid != -1,
         scale_factor, n_levels, th_local,
     )
     lrows_ok = lm_mt >= 0
@@ -357,10 +361,10 @@ def track_step(
 
     pts_obs2 = PointObs(
         xyz_w=assoc_xyz2, uv=cur.feat.xy, inv_sigma2=inv_sig2,
-        mask=assoc_gid2 >= 0,
+        mask=assoc_gid2 != -1,
     )
     ln_obs2 = _line_obs_from_assoc(cur.lines, ll_gid2, ll_mid2)
-    n_pt2 = jnp.sum((assoc_gid2 >= 0).astype(jnp.int32))
+    n_pt2 = jnp.sum((assoc_gid2 != -1).astype(jnp.int32))
     n_ln2 = jnp.sum((ll_gid2 >= 0).astype(jnp.int32))
     few2 = n_pt2 < 20
     wB2 = jnp.where(few2 | (n_ln2 >= 10), 1.0, 0.0)
@@ -371,8 +375,9 @@ def track_step(
     else:
         res2 = pose_optimize(res1.Tcw, cam, pts_obs2, ln_obs2, line_weight=0.0)
 
-    inlier = res2.inlier_pt & (assoc_gid2 >= 0)
-    lm_gid = jnp.where(inlier, assoc_gid2, -1)
+    inlier = res2.inlier_pt & (assoc_gid2 != -1)
+    # map-landmark associations only (temporal -2 points stay out)
+    lm_gid = jnp.where(inlier & (assoc_gid2 >= 0), assoc_gid2, -1)
     ln_inlier = res2.inlier_ln & (ll_gid2 >= 0)
     ll_out = jnp.where(ln_inlier, ll_gid2, -1)
 

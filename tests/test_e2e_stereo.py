@@ -102,3 +102,61 @@ class TestStereoVO:
         p2 = s2.poses()
         assert p1.shape == p2.shape
         np.testing.assert_allclose(p1, p2, atol=1e-4)
+
+    def test_stereo_with_lines(self):
+        """Point+line stereo (the capability the reference lists as 'not
+        yet extended', include/Tracking.h:142 — enabled here for all
+        sensors per SURVEY §1 note 1)."""
+        from splslam_tpu.io.synthetic import make_stereo_sequence
+        import numpy as np
+
+        K, bf, frames, gt = make_stereo_sequence(
+            n_frames=25, motion="forward", width=320, height=240,
+            texture="grid",
+        )
+        st = Settings(
+            fx=float(K[0, 0]), fy=float(K[1, 1]), cx=float(K[0, 2]),
+            cy=float(K[1, 2]), bf=float(bf), width=320, height=240,
+            n_features=600, n_levels=4, th_depth=40.0, fps=10,
+            max_points=8192, max_keyframes=64, local_window=1024,
+            enable_local_mapping=True, using_line=True, line_features=64,
+        )
+        sysm = System(st, Sensor.STEREO)
+        for i, (l, r) in enumerate(frames):
+            sysm.track_stereo(l, r, i * 0.1)
+        sysm.drain()
+        assert sysm.get_tracking_state() == TrackingState.OK
+        err = ate_rmse(sysm.poses(), gt)
+        assert err < 0.05, err
+        # lines detected per frame; map lines appear once mapping
+        # triangulates across keyframes
+        n_det = int(np.asarray(sysm.step.frame.lines.valid).sum())
+        assert n_det >= 3, n_det
+
+    def test_localization_mode_temporal_points(self):
+        """Localization-only mode keeps tracking via temporal VO points
+        (reference mbVO / UpdateLastFrame, src/Tracking.cc:500-569,
+        :1707-1771): no new keyframes, but pose tracking survives far
+        beyond the frozen map's coverage."""
+        from splslam_tpu.io.synthetic import make_stereo_sequence
+
+        K, bf, frames, gt = make_stereo_sequence(
+            n_frames=40, motion="forward", width=320, height=240
+        )
+        st = Settings(
+            fx=float(K[0, 0]), fy=float(K[1, 1]), cx=float(K[0, 2]),
+            cy=float(K[1, 2]), bf=float(bf), width=320, height=240,
+            n_features=600, n_levels=4, th_depth=40.0, fps=10,
+            max_points=8192, max_keyframes=64, local_window=1024,
+            enable_local_mapping=False,
+        )
+        sysm = System(st, Sensor.STEREO)
+        sysm.track_stereo(frames[0][0], frames[0][1], 0.0)  # init KF
+        sysm.activate_localization_mode()
+        for i, (l, r) in enumerate(frames[1:], start=1):
+            sysm.track_stereo(l, r, i * 0.1)
+        sysm.drain()
+        assert sysm.n_kfs == 1
+        assert sysm.state == TrackingState.OK
+        err = ate_rmse(sysm.poses(), gt)
+        assert err < 0.08, err
