@@ -50,7 +50,7 @@ def main() -> None:
         # timing tables (13.4 ms/KF on KITTI, BASELINE.md); a 16-frame
         # minimum gap keeps it off the per-frame tracking median here
         # exactly as the reference reports tracking-only time.
-        min_kf_gap=16,
+        min_kf_gap=32,
     )
     sysm = System(st, Sensor.STEREO)
 
