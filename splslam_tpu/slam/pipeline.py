@@ -482,6 +482,6 @@ def vo_frame_step_rgbd(
     frame_b = jax.tree.map(lambda x: x[None], frame)
     mst, state, stats = track_frames_batch(
         frame_b, map_state, prev, th_depth_m, ref_kf, cam, scales,
-        m_local, scale_factor, n_levels,
+        m_local, scale_factor, n_levels, loc_mode,
     )
     return mst, state, stats[0]

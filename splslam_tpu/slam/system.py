@@ -367,8 +367,23 @@ class System:
                 self.state = TrackingState.OK
                 self._frames_lost = 0
                 self.last_Tcw_np = Tcw_np
-            self._log_frame(timestamps[b], Tcw_np, lost=lost)
+            # Lost frames log the last good pose, matching the
+            # sequential path (_process_one); the diverged device pose
+            # is not a meaningful estimate.
+            self._log_frame(timestamps[b],
+                            Tcw_np if not lost else self.last_Tcw_np,
+                            lost=lost)
             self.frames_since_kf += 1
+        if (self.state == TrackingState.LOST and self.vocab is not None
+                and self.n_kfs > 0):
+            # Mid-batch losses surface here: attempt relocalization on the
+            # batch's final frame (its FrameData is the one retained on
+            # device), as the sequential path does per frame.
+            self.trajectory.pop()
+            if self._try_relocalize(self.step, timestamps[-1]):
+                self._frames_lost = 0
+            else:
+                self._log_frame(timestamps[-1], self.last_Tcw_np, lost=True)
         # keyframe policy on the batch's final frame (its FrameData is
         # the only one retained on device)
         if (self.state == TrackingState.OK and not self.localization_only
@@ -472,7 +487,7 @@ class System:
             pass
         self.step = new_step
         self.frame_id += 1
-        self._pending.append((stats_dev, ts, new_step))
+        self._pending.append((stats_dev, ts, new_step, self.frame_id))
         while len(self._pending) > self.settings.async_depth:
             self._process_one()
         return self.last_Tcw_np.copy()
@@ -484,7 +499,7 @@ class System:
             self._process_one()
 
     def _process_one(self):
-        stats_dev, ts, step_state = self._pending.popleft()
+        stats_dev, ts, step_state, fid = self._pending.popleft()
         stats = np.asarray(stats_dev)
         self._resolve_kf_out()
         n_mm = int(stats[pipeline.S_N_MM])
@@ -503,8 +518,12 @@ class System:
                     Tcw=res.Tcw,
                     velocity=jnp.eye(4),
                 )
-                # Resync the live tracker state to the corrected one.
-                self.step = step_state
+                # Resync the live tracker state to the corrected one —
+                # but only if this is still the newest dispatched frame;
+                # with async_depth > 1 newer frames may already be in
+                # flight and must not be rewound to a lagged state.
+                if fid == self.frame_id:
+                    self.step = step_state
 
         if n_in < 10:
             # Relocalization (reference Tracking.cc:2895 / :3064): BoW
@@ -649,6 +668,11 @@ class System:
             (n_tracked_close < 100) and (n_untracked_close > 70)
         )
 
+        # Hard gate: min_kf_gap is documented as a minimum frame gap
+        # before any keyframe insertion, so enforce it for every branch
+        # (c1a/c1c included), not just as the c1b enabler.
+        if self.frames_since_kf < self.min_kf_gap:
+            return False
         ref_matches = max(int(stats[pipeline.S_REF_MATCHES]), 1)
         # thRefRatio: 0.75 stereo, 0.4 with a single KF, 0.9 monocular
         # (reference src/Tracking.cc:2216-2222).

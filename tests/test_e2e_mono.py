@@ -1,6 +1,10 @@
 """End-to-end monocular SLAM on a synthetic sequence: two-view bootstrap
 (unified RANSAC), tracking, keyframes + mapping, Sim3-aligned ATE."""
 
+import pytest
+
+pytestmark = pytest.mark.slow
+
 import numpy as np
 
 from splslam_tpu.io.synthetic import ate_rmse, make_stereo_sequence

@@ -29,7 +29,10 @@ def run_vo(motion, n_frames=20, mapping=False):
 
 
 class TestStereoVO:
-    @pytest.mark.parametrize("motion", ["lateral", "forward"])
+    @pytest.mark.parametrize(
+        "motion",
+        [pytest.param("lateral", marks=pytest.mark.slow), "forward"],
+    )
     def test_tracks_and_low_ate(self, motion):
         sysm, gt = run_vo(motion)
         assert sysm.get_tracking_state() == TrackingState.OK
@@ -58,6 +61,7 @@ class TestStereoVO:
         assert sysm.n_kfs == 0
         assert len(sysm.trajectory) == 0
 
+    @pytest.mark.slow
     def test_with_local_mapping(self):
         """Full pipeline incl. the fused mapping step (cull -> triangulate
         -> fuse -> local BA) after each keyframe. Forward motion decays
@@ -70,6 +74,7 @@ class TestStereoVO:
         err = ate_rmse(est, gt)
         assert err < 0.05, err
 
+    @pytest.mark.slow
     def test_batched_equals_sequential(self):
         """vo_batch_step (B frames per dispatch) must produce the same
         trajectory as per-frame tracking."""
@@ -103,6 +108,7 @@ class TestStereoVO:
         assert p1.shape == p2.shape
         np.testing.assert_allclose(p1, p2, atol=1e-4)
 
+    @pytest.mark.slow
     def test_stereo_with_lines(self):
         """Point+line stereo (the capability the reference lists as 'not
         yet extended', include/Tracking.h:142 — enabled here for all
@@ -133,6 +139,7 @@ class TestStereoVO:
         n_det = int(np.asarray(sysm.step.frame.lines.valid).sum())
         assert n_det >= 3, n_det
 
+    @pytest.mark.slow
     def test_localization_mode_temporal_points(self):
         """Localization-only mode keeps tracking via temporal VO points
         (reference mbVO / UpdateLastFrame, src/Tracking.cc:500-569,

@@ -1,6 +1,10 @@
 """Loop closing end-to-end: detection + Sim3 verification on an
 out-and-back revisit, and offline correction + GBA smoke."""
 
+import pytest
+
+pytestmark = pytest.mark.slow
+
 import numpy as np
 import jax
 import jax.numpy as jnp

@@ -1,5 +1,9 @@
 """Pallas patch kernel vs XLA fallback equivalence (interpret mode)."""
 
+import pytest
+
+pytestmark = pytest.mark.slow
+
 import numpy as np
 import jax.numpy as jnp
 

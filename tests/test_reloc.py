@@ -1,6 +1,10 @@
 """BoW vocabulary + relocalization tests (reference Tracking::
 Relocalization / KeyFrameDatabase behavior)."""
 
+import pytest
+
+pytestmark = pytest.mark.slow
+
 import numpy as np
 import jax
 import jax.numpy as jnp

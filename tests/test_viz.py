@@ -1,5 +1,9 @@
 """Viewer-equivalent smoke tests (offline FrameDrawer/MapDrawer)."""
 
+import pytest
+
+pytestmark = pytest.mark.slow
+
 import numpy as np
 
 from splslam_tpu.io.synthetic import make_stereo_sequence
