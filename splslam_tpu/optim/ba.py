@@ -45,6 +45,8 @@ _HI = jax.lax.Precision.HIGHEST
 
 CHI2_MONO = 5.991    # 2-dof 95% (reference Optimizer.cc:2591)
 CHI2_STEREO = 7.815  # 3-dof 95% (reference Optimizer.cc:2592)
+CHI2_LINE = 3.841    # 1-dof 95% per line-endpoint edge
+CHI2_POINT_JOINT = 5.991  # joint gate for an endpoint PAIR (:2753)
 
 
 class BAProblem(NamedTuple):
@@ -55,6 +57,17 @@ class BAProblem(NamedTuple):
     (the covisibility 2-ring, reference Optimizer.cc:2442-2465) still
     contribute residuals. Landmarks are slots 0..L-1. Edges reference
     slots; invalid edges have ok=False and contribute nothing.
+
+    LINE EDGES (reference EdgeSE3ProjectXYZLines, include/Optimizer.h:
+    80-110, used by LocalBundleAdjustmentmainOld src/Optimizer.cc:
+    2630-2753): a map line contributes its start and end 3D points as
+    ORDINARY landmark slots in `xyz`; each observation becomes a PAIR of
+    1-dof edges sharing one measured 2D line l = (lx,ly,lz), lx²+ly²=1,
+    with residual r = lx·u + ly·v + lz at the projected endpoint. The
+    pair is linked through `e_pair` so the outlier test is the JOINT
+    chi2Fir + chi2End > 5.991 of the reference (src/Optimizer.cc:2753).
+    The trailing fields default to None => points-only problem (the
+    solver skips all line arithmetic).
     """
 
     Tcw: jax.Array         # [C,4,4]
@@ -67,6 +80,9 @@ class BAProblem(NamedTuple):
     e_ur: jax.Array        # [E] right-image u; < 0 => mono edge
     e_inv_sigma2: jax.Array  # [E]
     e_ok: jax.Array        # [E] bool
+    e_coef: jax.Array | None = None  # [E,3] observed 2D line (line edges)
+    e_line: jax.Array | None = None  # [E] bool — row is a line edge
+    e_pair: jax.Array | None = None  # [E] i32 partner edge row (-1 none)
 
 
 class BAResult(NamedTuple):
@@ -107,14 +123,28 @@ def _edge_terms(Tcw_all, xyz_all, cam: Camera, p: BAProblem):
     srow = jnp.stack(
         [cam.fx * iz, zeros, -(cam.fx * x - cam.bf) * iz2], axis=-1
     ) * stereo[:, None].astype(jnp.float32)
-    duv_dpc = jnp.stack(
-        [
-            jnp.stack([cam.fx * iz, zeros, -cam.fx * x * iz2], axis=-1),
-            jnp.stack([zeros, cam.fy * iz, -cam.fy * y * iz2], axis=-1),
-            srow,
-        ],
-        axis=1,
-    )  # [E,3,3]
+    row_u = jnp.stack([cam.fx * iz, zeros, -cam.fx * x * iz2], axis=-1)
+    row_v = jnp.stack([zeros, cam.fy * iz, -cam.fy * y * iz2], axis=-1)
+    duv_dpc = jnp.stack([row_u, row_v, srow], axis=1)  # [E,3,3]
+    if p.e_coef is not None:
+        # Line-endpoint edges: 1-dof residual l·[u,v,1] in row 0
+        # (reference line edge error, include/Optimizer.h:86-95); the
+        # Jacobian chain-rules through the same projection rows.
+        lx, ly = p.e_coef[:, 0], p.e_coef[:, 1]
+        r_line = lx * u + ly * v + p.e_coef[:, 2]
+        row_l = lx[:, None] * row_u + ly[:, None] * row_v
+        is_l = p.e_line
+        r = jnp.where(
+            is_l[:, None],
+            jnp.stack([r_line, zeros, zeros], axis=-1),
+            r,
+        )
+        duv_dpc = jnp.where(
+            is_l[:, None, None],
+            jnp.stack([row_l, jnp.zeros_like(row_l), jnp.zeros_like(row_l)],
+                      axis=1),
+            duv_dpc,
+        )
     dpc_dxi = jnp.concatenate(
         [jnp.broadcast_to(jnp.eye(3), pc.shape[:1] + (3, 3)), -se3.hat(pc)],
         axis=-1,
@@ -129,6 +159,29 @@ def _huber_weight(chi2: jax.Array, delta2: jax.Array) -> jax.Array:
     return jnp.where(
         chi2 <= delta2, 1.0, jnp.sqrt(delta2 / jnp.maximum(chi2, 1e-12))
     )
+
+
+def _gates(p: BAProblem):
+    """(classification gate [E], Huber delta² [E], joint-chi2 fn).
+
+    Points classify per-edge (5.991 mono / 7.815 stereo). Line-endpoint
+    edges classify by the JOINT chi2 of the pair vs 5.991 (reference
+    chi2Fir+chi2End > 5.991, src/Optimizer.cc:2753) but robustify
+    per-edge at the 1-dof 3.841 delta."""
+    gate = jnp.where(p.e_ur >= 0, CHI2_STEREO, CHI2_MONO)
+    if p.e_coef is None:
+        return gate, gate, lambda chi2: chi2
+    gate = jnp.where(p.e_line, CHI2_POINT_JOINT, gate)
+    huber = jnp.where(p.e_line, CHI2_LINE, jnp.where(
+        p.e_ur >= 0, CHI2_STEREO, CHI2_MONO))
+
+    def joint(chi2):
+        partner = jnp.where(
+            p.e_pair >= 0, chi2[jnp.clip(p.e_pair, 0)], 0.0
+        )
+        return jnp.where(p.e_line, chi2 + partner, chi2)
+
+    return gate, huber, joint
 
 
 @partial(jax.jit, static_argnames=("rounds", "iters", "n_free"))
@@ -147,12 +200,12 @@ def ba_solve(
     L = p.xyz.shape[0]
     Cf = C if n_free is None else n_free
 
-    chi2_gate = jnp.where(p.e_ur >= 0, CHI2_STEREO, CHI2_MONO)
+    chi2_gate, huber_d2, joint_chi2 = _gates(p)
 
     def robust_cost(Tcw_all, xyz_all, active):
         """Total Huber-robustified chi2 of the active edges."""
         _, _, _, chi2, z_ok = _edge_terms(Tcw_all, xyz_all, cam, p)
-        d2 = chi2_gate
+        d2 = huber_d2
         rho = jnp.where(
             chi2 <= d2, chi2, 2.0 * jnp.sqrt(d2 * jnp.maximum(chi2, 0.0)) - d2
         )
@@ -162,7 +215,7 @@ def ba_solve(
         Tcw_all, xyz_all = state
         r, J_c, J_p, chi2, z_ok = _edge_terms(Tcw_all, xyz_all, cam, p)
         w = (
-            _huber_weight(chi2, chi2_gate)
+            _huber_weight(chi2, huber_d2)
             * p.e_inv_sigma2
             * (active & z_ok).astype(jnp.float32)
         )
@@ -251,16 +304,71 @@ def ba_solve(
         )
         (Tcw_all, xyz_all), lam, _ = st
         _, _, _, chi2, z_ok = _edge_terms(Tcw_all, xyz_all, cam, p)
-        new_active = p.e_ok & (chi2 <= chi2_gate) & z_ok
+        new_active = p.e_ok & (joint_chi2(chi2) <= chi2_gate) & z_ok
         return ((Tcw_all, xyz_all), new_active, lam), None
 
     init = ((p.Tcw, p.xyz), p.e_ok, jnp.float32(damping))
     (st, active, _), _ = jax.lax.scan(round_body, init, None, length=rounds)
     Tcw_all, xyz_all = st
     _, _, _, chi2, z_ok = _edge_terms(Tcw_all, xyz_all, cam, p)
-    inlier = p.e_ok & (chi2 <= chi2_gate) & z_ok
+    inlier = p.e_ok & (joint_chi2(chi2) <= chi2_gate) & z_ok
     total = jnp.sum(jnp.where(inlier, chi2, 0.0))
     return BAResult(Tcw_all, xyz_all, inlier, chi2, total)
+
+
+@partial(jax.jit, static_argnames=("rounds", "iters", "n_free"))
+def ba_solve_arbitrated(
+    cam: Camera,
+    p: BAProblem,
+    *,
+    rounds: int = 2,
+    iters: int = 5,
+    n_free: int | None = None,
+    damping: float = 1e-4,
+) -> BAResult:
+    """Dual point-BA ∥ line-BA with per-keyframe pose arbitration, then a
+    joint pass — the reference's LocalBundleAdjustmentmain
+    (src/Optimizer.cc:2875-2902): run LocalBundleAdjustmentPoints and
+    LocalBundleAdjustmentLines (here: the same problem with the other
+    modality's edges masked), compare each keyframe's UNIT ERROR
+    (inlier chi2 sum / inlier count, the reference's per-KF error maps,
+    src/Optimizer.cc:3471-3593 LocalBAPoseDecidingBetweenLinesAndPoints),
+    seed each keyframe with the winning pose, then run the joint
+    optimization. The reference's thread pair becomes two independent
+    solves inside one XLA program (the compiler interleaves them)."""
+    if p.e_line is None:
+        return ba_solve(cam, p, rounds=rounds, iters=iters, n_free=n_free,
+                        damping=damping)
+    C = p.Tcw.shape[0]
+    pt = p._replace(e_ok=p.e_ok & ~p.e_line)
+    ln = p._replace(e_ok=p.e_ok & p.e_line)
+    resP = ba_solve(cam, pt, rounds=rounds, iters=iters, n_free=n_free,
+                    damping=damping)
+    resL = ba_solve(cam, ln, rounds=rounds, iters=iters, n_free=n_free,
+                    damping=damping)
+
+    def unit_error(res, mask):
+        ok = (res.e_inlier & mask).astype(jnp.float32)
+        num = jnp.zeros((C,)).at[p.e_cam].add(res.chi2 * ok, mode="drop")
+        den = jnp.zeros((C,)).at[p.e_cam].add(ok, mode="drop")
+        return jnp.where(den > 0, num / jnp.maximum(den, 1.0), jnp.inf), den
+
+    uP, nP = unit_error(resP, ~p.e_line)
+    uL, nL = unit_error(resL, p.e_line)
+    # A modality with no surviving edges for a keyframe cannot win it
+    # (the reference only arbitrates keyframes present in both maps).
+    pick_line = (uL < uP) & (nL > 0)
+    Tcw0 = jnp.where(pick_line[:, None, None], resL.Tcw, resP.Tcw)
+    # Landmarks: points from the point solve, line endpoints from the
+    # line solve (each solve only moved its own modality's landmarks —
+    # masked edges leave the others' Hpp empty, hence unchanged).
+    line_edge_lm = jnp.zeros((p.xyz.shape[0],), bool).at[
+        jnp.where(p.e_line, p.e_lm, p.xyz.shape[0])
+    ].set(True, mode="drop")
+    xyz0 = jnp.where(line_edge_lm[:, None], resL.xyz, resP.xyz)
+    joint = p._replace(Tcw=Tcw0, xyz=xyz0)
+    return ba_solve(cam, joint, rounds=rounds, iters=iters, n_free=n_free,
+                    damping=damping)
 
 
 # ----------------------------------------------------------------------
@@ -291,14 +399,14 @@ def ba_solve_pcg(
     slots with cam_free=True are optimized; landmarks always are."""
     C = p.Tcw.shape[0]
     L = p.xyz.shape[0]
-    chi2_gate = jnp.where(p.e_ur >= 0, CHI2_STEREO, CHI2_MONO)
+    chi2_gate, huber_d2, joint_chi2 = _gates(p)
     free_f = p.cam_free.astype(jnp.float32)[:, None]
 
     def gn_step(state, active):
         Tcw_all, xyz_all = state
         r, J_c, J_p, chi2, z_ok = _edge_terms(Tcw_all, xyz_all, cam, p)
         w = (
-            _huber_weight(chi2, chi2_gate)
+            _huber_weight(chi2, huber_d2)
             * p.e_inv_sigma2
             * (active & z_ok).astype(jnp.float32)
         )
@@ -394,13 +502,13 @@ def ba_solve_pcg(
         state, _ = jax.lax.scan(step, state, None, length=gn_iters)
         Tcw_all, xyz_all = state
         _, _, _, chi2, z_ok = _edge_terms(Tcw_all, xyz_all, cam, p)
-        new_active = p.e_ok & (chi2 <= chi2_gate) & z_ok
+        new_active = p.e_ok & (joint_chi2(chi2) <= chi2_gate) & z_ok
         return ((Tcw_all, xyz_all), new_active), None
 
     ((Tcw_all, xyz_all), active), _ = jax.lax.scan(
         round_body, ((p.Tcw, p.xyz), p.e_ok), None, length=rounds
     )
     _, _, _, chi2, z_ok = _edge_terms(Tcw_all, xyz_all, cam, p)
-    inlier = p.e_ok & (chi2 <= chi2_gate) & z_ok
+    inlier = p.e_ok & (joint_chi2(chi2) <= chi2_gate) & z_ok
     total = jnp.sum(jnp.where(inlier, chi2, 0.0))
     return BAResult(Tcw_all, xyz_all, inlier, chi2, total)

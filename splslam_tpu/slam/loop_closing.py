@@ -114,23 +114,62 @@ def compute_sim3_attempt(
     return n_matches, n_opt, n_proj, (s, R, t)
 
 
+@jax.jit
+def _covis_matrix(st: mapmod.MapState) -> jax.Array:
+    """[K,K] shared-landmark counts between every keyframe pair (the
+    covisibility-graph weights, reference KeyFrame::GetCovisiblesByWeight)
+    as one membership matmul."""
+    K, N = st.kfs.lm_idx.shape
+    P = st.pts.xyz.shape[0]
+    lm = st.kfs.lm_idx
+    ok = (lm >= 0) & st.kfs.fvalid & st.kfs.valid[:, None] \
+        & st.pts.valid[jnp.clip(lm, 0)]
+    Mb = jnp.zeros((K, P + 1), jnp.bfloat16).at[
+        jnp.arange(K)[:, None], jnp.where(ok, lm, P)
+    ].set(1.0, mode="drop")[:, :P]
+    return jnp.dot(
+        Mb, Mb.T, preferred_element_type=jnp.float32
+    ).astype(jnp.int32)
+
+
 def _build_pose_graph_edges(st: mapmod.MapState, n_kfs: int,
-                            loop_i: int, loop_j: int, S_loop):
-    """Odometry (sequential) + loop edges with relative Sim3 measurements
-    from the CURRENT poses (reference uses spanning-tree + covisibility
-    edges; sequential keyframes are the spanning tree's backbone)."""
+                            loop_i: int, loop_j: int, S_loop,
+                            past_loops: list[tuple[int, int]] | None = None,
+                            covis_min: int = 100):
+    """The ESSENTIAL GRAPH (reference Optimizer::OptimizeEssentialGraph,
+    src/Optimizer.cc:1019-1189): spanning tree (here the sequential
+    keyframe chain — its backbone), high-covisibility edges (weight >=
+    100, :1120-1143), PAST loop edges (:1096-1117), and the new loop
+    edge. Relative Sim3 measurements come from the current poses."""
     Tcw = np.asarray(st.kfs.Tcw[:n_kfs])
+    inv = np.array([np.linalg.inv(T) for T in Tcw])
     ei, ej, ss, Rs, ts, w = [], [], [], [], [], []
+
+    def add(i, j, weight, s_ij=None, R_ij=None, t_ij=None):
+        if s_ij is None:
+            rel = Tcw[i] @ inv[j]
+            s_ij, R_ij, t_ij = 1.0, rel[:3, :3], rel[:3, 3]
+        ei.append(i); ej.append(j)
+        ss.append(float(s_ij)); Rs.append(np.asarray(R_ij))
+        ts.append(np.asarray(t_ij)); w.append(float(weight))
+
+    # spanning-tree backbone
     for k in range(1, n_kfs):
-        rel = Tcw[k] @ np.linalg.inv(Tcw[k - 1])
-        ei.append(k); ej.append(k - 1)
-        ss.append(1.0); Rs.append(rel[:3, :3]); ts.append(rel[:3, 3])
-        w.append(1.0)
+        add(k, k - 1, 1.0)
+    # covisibility edges >= covis_min (dedup i>j, skip sequential pairs)
+    C = np.asarray(_covis_matrix(st))[:n_kfs, :n_kfs]
+    for i in range(n_kfs):
+        for j in range(i):
+            if j == i - 1:
+                continue
+            if C[i, j] >= covis_min:
+                add(i, j, 1.0)
+    # past loop edges (reference keeps them permanently, :1096)
+    for (i, j) in (past_loops or []):
+        if i < n_kfs and j < n_kfs and (i, j) != (loop_i, loop_j):
+            add(i, j, float(n_kfs))
     s, R, t = S_loop
-    ei.append(loop_i); ej.append(loop_j)
-    ss.append(float(s)); Rs.append(np.asarray(R)); ts.append(np.asarray(t))
-    w.append(float(n_kfs))  # loop edge dominates (reference gives loop
-    #                         edges full weight in the essential graph)
+    add(loop_i, loop_j, float(n_kfs), float(s), np.asarray(R), np.asarray(t))
     return S3.PoseGraphEdges(
         i=jnp.asarray(ei, jnp.int32), j=jnp.asarray(ej, jnp.int32),
         s=jnp.asarray(ss, jnp.float32), R=jnp.asarray(np.array(Rs), jnp.float32),
@@ -174,6 +213,96 @@ def _apply_pose_graph(st: mapmod.MapState, s_f, R_f, t_f, valid_k):
         kfs=kfs._replace(Tcw=new_Tcw),
         pts=pts._replace(xyz=new_xyz),
     )
+
+
+from functools import partial
+
+
+@partial(jax.jit, static_argnames=("scale_factor", "n_levels"))
+def loop_search_and_fuse(
+    st: mapmod.MapState,
+    cur_kfs: jax.Array,    # [G] i32 current covisible group (-1 pad)
+    loop_lms: jax.Array,   # [F] i32 loop-area landmark ids (-1 pad)
+    cam,
+    scales: jax.Array,
+    scale_factor: float = 1.2,
+    n_levels: int = 8,
+) -> mapmod.MapState:
+    """SearchAndFuse (reference src/LoopClosing.cc:589-645): project the
+    loop area's map points into every keyframe of the current covisible
+    group with its CORRECTED pose; a hit on a feature that already has a
+    landmark REPLACES it with the loop point (the loop side wins —
+    reference matcher.Fuse(pKF, cvScw, mvpLoopMapPoints, 4, ...) followed
+    by pMP->Replace(pRep)); a hit on a free feature adds the observation.
+    """
+    from splslam_tpu.slam.map import predict_octave
+
+    P = st.pts.xyz.shape[0]
+    remap = jnp.arange(P, dtype=jnp.int32)
+    pts = st.pts
+    li = jnp.clip(loop_lms, 0)
+    lm_ok_row = (loop_lms >= 0) & pts.valid[li]
+    xyz = pts.xyz[li]
+    desc = pts.desc[li]
+
+    for g in range(cur_kfs.shape[0]):
+        kf_id = cur_kfs[g]
+        kf = jnp.clip(kf_id, 0)
+        kf_ok = kf_id >= 0
+        kfs = st.kfs
+        T = kfs.Tcw[kf]
+        pc = xyz @ T[:3, :3].T + T[:3, 3]
+        zs = jnp.maximum(pc[:, 2], 1e-6)
+        u = cam.fx * pc[:, 0] / zs + cam.cx
+        v = cam.fy * pc[:, 1] / zs + cam.cy
+        uv = jnp.stack([u, v], axis=-1)
+        inimg = (
+            (u >= 0) & (u < cam.width) & (v >= 0) & (v < cam.height)
+            & (pc[:, 2] > 1e-3)
+        )
+        O = -T[:3, :3].T @ T[:3, 3]
+        dist3 = jnp.linalg.norm(xyz - O, axis=-1)
+        band_ok = (dist3 > 0.8 * pts.dmin[li]) & (dist3 < 1.2 * pts.dmax[li])
+        rows_ok = lm_ok_row & inimg & band_ok & kf_ok
+        pred = predict_octave(dist3, pts.dmax[li], scale_factor, n_levels)
+        radius = 4.0 * scales[pred]   # reference Fuse radius th=4
+        wmask = M.window_mask(uv, kfs.xy[kf], radius)
+        omask = M.octave_mask(pred, kfs.octave[kf], -1, 1)
+        dmat = M.hamming_matrix(desc, kfs.desc[kf])
+        dmat = M.masked_distances(dmat, rows_ok, kfs.fvalid[kf], wmask & omask)
+        mt, _ = M.nn_match(dmat, max_dist=M.TH_LOW)
+        hit = mt >= 0
+        col = jnp.clip(mt, 0)
+        tgt = kfs.lm_idx[kf][col]
+        # replace: existing landmark forwards to the loop point
+        both = hit & (tgt >= 0) & (tgt != loop_lms)
+        remap = remap.at[jnp.where(both, jnp.clip(tgt, 0), P)].set(
+            jnp.where(both, loop_lms, 0), mode="drop"
+        )
+        # free feature gains the loop observation
+        free_hit = hit & (tgt < 0)
+        row = kfs.lm_idx[kf].at[jnp.where(free_hit, mt, -1)].set(
+            jnp.where(free_hit, loop_lms, -1), mode="drop"
+        )
+        st = st._replace(
+            kfs=kfs._replace(lm_idx=kfs.lm_idx.at[kf].set(
+                jnp.where(kf_ok, row, kfs.lm_idx[kf])
+            ))
+        )
+
+    remap = remap[remap]
+    remap = remap[remap]
+    merged = remap != jnp.arange(P, dtype=jnp.int32)
+    lm_idx = st.kfs.lm_idx
+    new_lm = jnp.where(lm_idx >= 0, remap[jnp.clip(lm_idx, 0)], -1)
+    gains = jnp.zeros_like(pts.n_obs).at[jnp.where(merged, remap, P)].add(
+        pts.n_obs * merged.astype(jnp.int32), mode="drop"
+    )
+    pts = st.pts._replace(
+        valid=st.pts.valid & ~merged,
+        n_obs=st.pts.n_obs + gains,
+    )
+    return st._replace(kfs=st.kfs._replace(lm_idx=new_lm), pts=pts)
 
 
 class LoopCloser:

@@ -43,6 +43,8 @@ N_WINDOW = 8      # free cameras in local BA (1-ring cap)
 N_FIXED = 8       # fixed anchor cameras (2-ring cap)
 N_NEIGH = 4       # neighbors for triangulation / fuse
 L_WINDOW = 8192   # landmark slots in the BA window
+LN_WINDOW = 512   # map-line slots in the BA window (each = 2 endpoint
+#                   vertices, reference Optimizer.cc:2630-2642)
 MAX_TRI = 256     # new landmarks per (kf, neighbor) pair
 
 
@@ -672,6 +674,25 @@ def build_ba_window(st: MapState, kf: jax.Array):
     return cams, lm_ids
 
 
+def build_line_window(st: MapState, cams: jax.Array) -> jax.Array:
+    """Map-line slot set for local BA: union of the free cameras' line
+    observations, deduplicated into LN_WINDOW slots (the reference adds
+    every MapLine of the local keyframes as a pair of endpoint vertices,
+    src/Optimizer.cc:2466-2516)."""
+    free = cams[:N_WINDOW]
+    rows = st.kfs.ll_idx[jnp.clip(free, 0)]
+    rows = jnp.where((free >= 0)[:, None], rows, -1)
+    flat = rows.reshape(-1)
+    ok = (flat >= 0) & st.lns.valid[jnp.clip(flat, 0)]
+    flat = jnp.where(ok, flat, -1)
+    s = jnp.sort(flat)
+    F = s.shape[0]
+    first = jnp.concatenate([s[:1] >= 0, (s[1:] != s[:-1]) & (s[1:] >= 0)])
+    key = jnp.where(first, jnp.arange(F, dtype=jnp.int32), F)
+    sel = -jax.lax.top_k(-key, min(LN_WINDOW, F))[0]
+    return jnp.where(sel < F, s[jnp.clip(sel, 0, F - 1)], -1)  # [LN]
+
+
 def make_ba_problem(st: MapState, cams: jax.Array, lm_ids: jax.Array):
     """Assemble the fixed-shape edge table for `ba_solve` from keyframe
     feature rows (each (camera slot, feature) pair with a landmark in the
@@ -718,11 +739,98 @@ def make_ba_problem(st: MapState, cams: jax.Array, lm_ids: jax.Array):
     return prob
 
 
+def add_line_edges(
+    st: MapState, cams: jax.Array, ln_ids: jax.Array, prob: BAProblem,
+) -> BAProblem:
+    """Append map-line endpoint vertices + paired 1-dof line edges to a
+    point BA problem (reference LocalBundleAdjustmentmainOld line blocks,
+    src/Optimizer.cc:2630-2753: per observed line, TWO binary edges —
+    start & end 3D points against one measured 2D line — gated jointly).
+
+    Landmark slot layout: [points L | line q starts at L+2q, ends at
+    L+2q+1]. Edge layout: [point edges | (cam, feature) start/end pairs].
+    """
+    from splslam_tpu.optim.pose_gn import line_coefficients
+
+    Q = st.lns.xyz.shape[0]
+    L = prob.xyz.shape[0]
+    LN = ln_ids.shape[0]
+    C = cams.shape[0]
+    Lf = st.kfs.ll_idx.shape[1]
+    gk = jnp.clip(cams, 0)
+    cam_ok = cams >= 0
+
+    lookup = jnp.full((Q + 1,), -1, jnp.int32)
+    lookup = lookup.at[jnp.where(ln_ids >= 0, ln_ids, Q)].set(
+        jnp.arange(LN, dtype=jnp.int32), mode="drop"
+    )
+    ll_rows = st.kfs.ll_idx[gk]                      # [C,Lf]
+    slot_q = lookup[jnp.clip(ll_rows, 0, Q)]         # [C,Lf]
+    obs_ok = (
+        cam_ok[:, None]
+        & (ll_rows >= 0)
+        & (slot_q >= 0)
+        & st.kfs.lvalid[gk]
+        & st.lns.valid[jnp.clip(ll_rows, 0)]
+    )                                                # [C,Lf]
+    coef = line_coefficients(st.kfs.lseg[gk].reshape(-1, 4)).reshape(C, Lf, 3)
+
+    # Two edge rows per observation: start endpoint then end endpoint.
+    base = jnp.arange(C * Lf, dtype=jnp.int32) * 2 + prob.e_cam.shape[0]
+    sl_start = (L + 2 * jnp.where(obs_ok, slot_q, 0)).reshape(-1)
+    sl_end = sl_start + 1
+    le_cam = jnp.broadcast_to(
+        jnp.arange(C, dtype=jnp.int32)[:, None], (C, Lf)
+    ).reshape(-1)
+    flat_ok = obs_ok.reshape(-1)
+    flat_coef = coef.reshape(-1, 3)
+
+    def inter(a, b):  # interleave [E]->[2E] as (a0,b0,a1,b1,...)
+        return jnp.stack([a, b], axis=1).reshape(-1)
+
+    e_cam2 = inter(le_cam, le_cam)
+    e_lm2 = inter(sl_start, sl_end)
+    e_ok2 = inter(flat_ok, flat_ok)
+    e_pair2 = inter(base + 1, base)
+    e_coef2 = jnp.stack([flat_coef, flat_coef], axis=1).reshape(-1, 3)
+
+    Ep = prob.e_cam.shape[0]
+    z3 = jnp.zeros((Ep, 3))
+    # Line midpoint sigma ~2 px (detector endpoints are less repeatable
+    # than corners) => information 0.25.
+    new_xyz = jnp.concatenate(
+        [prob.xyz,
+         st.lns.xyz[jnp.clip(ln_ids, 0)][:, (0, 2), :].reshape(-1, 3)]
+    )
+    ln_ok2 = jnp.repeat(ln_ids >= 0, 2)
+    return BAProblem(
+        Tcw=prob.Tcw,
+        cam_free=prob.cam_free,
+        xyz=new_xyz,
+        lm_ok=jnp.concatenate([prob.lm_ok, ln_ok2]),
+        e_cam=jnp.concatenate([prob.e_cam, e_cam2]),
+        e_lm=jnp.concatenate([prob.e_lm, e_lm2]),
+        e_uv=jnp.concatenate([prob.e_uv, jnp.zeros((e_cam2.shape[0], 2))]),
+        e_ur=jnp.concatenate([prob.e_ur, jnp.full((e_cam2.shape[0],), -1.0)]),
+        e_inv_sigma2=jnp.concatenate(
+            [prob.e_inv_sigma2, jnp.full((e_cam2.shape[0],), 0.25)]
+        ),
+        e_ok=jnp.concatenate([prob.e_ok, e_ok2]),
+        e_coef=jnp.concatenate([z3, e_coef2]),
+        e_line=jnp.concatenate(
+            [jnp.zeros((Ep,), bool), jnp.ones((e_cam2.shape[0],), bool)]
+        ),
+        e_pair=jnp.concatenate([jnp.full((Ep,), -1, jnp.int32), e_pair2]),
+    )
+
+
 def apply_ba_result(
     st: MapState, cams: jax.Array, lm_ids: jax.Array, prob: BAProblem, res,
+    ln_ids: jax.Array | None = None,
 ) -> MapState:
     """Write optimized poses/landmarks back into the map tables and erase
-    outlier observations (reference Optimizer.cc:2766-2830 vToErase)."""
+    outlier observations (reference Optimizer.cc:2766-2830 vToErase; line
+    write-back + erase-by-joint-gate :2832-2873)."""
     C = cams.shape[0]
     N = st.kfs.lm_idx.shape[1]
     P = st.pts.xyz.shape[0]
@@ -736,23 +844,58 @@ def apply_ba_result(
         newT = jnp.where(write, res.Tcw[c], kfs.Tcw[tgt])
         kfs = kfs._replace(Tcw=kfs.Tcw.at[tgt].set(newT))
     # Landmarks.
+    L = lm_ids.shape[0]
     li = jnp.where(lm_ids >= 0, lm_ids, P)
     pts = st.pts._replace(
-        xyz=st.pts.xyz.at[li].set(res.xyz, mode="drop")
+        xyz=st.pts.xyz.at[li].set(res.xyz[:L], mode="drop")
     )
     # Outlier observation erasure: edge (c, n) failed the final gate.
-    bad = (prob.e_ok & ~res.e_inlier).reshape(C, N)
+    Ep = C * N
+    bad = (prob.e_ok[:Ep] & ~res.e_inlier[:Ep]).reshape(C, N)
     lm_rows = kfs.lm_idx[jnp.clip(cams, 0)]
     new_rows = jnp.where(bad, -1, lm_rows)
     kfs = kfs._replace(
         lm_idx=kfs.lm_idx.at[jnp.clip(cams, 0)].set(new_rows)
     )
-    w_obs = jnp.where(prob.e_ur >= 0, 2, 1).reshape(C, N)
+    w_obs = jnp.where(prob.e_ur[:Ep] >= 0, 2, 1).reshape(C, N)
     obs_dec = jnp.zeros_like(pts.n_obs).at[
         jnp.where(bad, jnp.clip(lm_rows, 0), P).reshape(-1)
     ].add(jnp.where(bad, -w_obs, 0).reshape(-1), mode="drop")
     pts = pts._replace(n_obs=pts.n_obs + obs_dec)
-    return st._replace(kfs=kfs, pts=pts)
+    st = st._replace(kfs=kfs, pts=pts)
+
+    if ln_ids is not None:
+        # Line endpoints: res slots [L + 2q] (start) and [L + 2q + 1]
+        # (end); the stored midpoint follows as the segment middle.
+        Q = st.lns.xyz.shape[0]
+        LN = ln_ids.shape[0]
+        ends = res.xyz[L:L + 2 * LN].reshape(LN, 2, 3)
+        xyz3 = jnp.stack(
+            [ends[:, 0], 0.5 * (ends[:, 0] + ends[:, 1]), ends[:, 1]],
+            axis=1,
+        )
+        qi = jnp.where(ln_ids >= 0, ln_ids, Q)
+        lns = st.lns._replace(
+            xyz=st.lns.xyz.at[qi].set(xyz3, mode="drop")
+        )
+        # Joint-gate outlier erasure (both rows of a pair share the
+        # verdict — e_inlier uses the joint chi2).
+        Lf = st.kfs.ll_idx.shape[1]
+        start_rows = slice(Ep, Ep + 2 * C * Lf, 2)
+        bad_l = (prob.e_ok[start_rows] & ~res.e_inlier[start_rows]).reshape(
+            C, Lf
+        )
+        ll_rows = st.kfs.ll_idx[jnp.clip(cams, 0)]
+        new_ll = jnp.where(bad_l, -1, ll_rows)
+        kfs2 = st.kfs._replace(
+            ll_idx=st.kfs.ll_idx.at[jnp.clip(cams, 0)].set(new_ll)
+        )
+        lobs_dec = jnp.zeros_like(lns.n_obs).at[
+            jnp.where(bad_l, jnp.clip(ll_rows, 0), Q).reshape(-1)
+        ].add(jnp.where(bad_l, -1, 0).reshape(-1), mode="drop")
+        lns = lns._replace(n_obs=lns.n_obs + lobs_dec)
+        st = st._replace(kfs=kfs2, lns=lns)
+    return st
 
 
 @partial(
@@ -791,10 +934,23 @@ def mapping_step(
     )
     cams, lm_ids = build_ba_window(st, kf)
     prob = make_ba_problem(st, cams, lm_ids)
-    res = ba_solve(
-        cam, prob, rounds=ba_rounds, iters=ba_iters, n_free=N_WINDOW
-    )
-    st = apply_ba_result(st, cams, lm_ids, prob, res)
+    if with_lines:
+        # Dual point-BA ∥ line-BA with per-KF pose arbitration + joint
+        # pass (reference LocalBundleAdjustmentmain,
+        # src/Optimizer.cc:2875-2902).
+        from splslam_tpu.optim.ba import ba_solve_arbitrated
+
+        ln_ids = build_line_window(st, cams)
+        prob = add_line_edges(st, cams, ln_ids, prob)
+        res = ba_solve_arbitrated(
+            cam, prob, rounds=ba_rounds, iters=ba_iters, n_free=N_WINDOW
+        )
+        st = apply_ba_result(st, cams, lm_ids, prob, res, ln_ids=ln_ids)
+    else:
+        res = ba_solve(
+            cam, prob, rounds=ba_rounds, iters=ba_iters, n_free=N_WINDOW
+        )
+        st = apply_ba_result(st, cams, lm_ids, prob, res)
     st = cull_keyframes(st, kf)
     stats = jnp.stack(
         [

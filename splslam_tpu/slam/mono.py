@@ -236,14 +236,79 @@ def create_initial_map(
         e_inv_sigma2=e_sig,
         e_ok=e_ok,
     )
-    res = ba_solve(cam, prob, rounds=2, iters=8, n_free=2)
+    if Lc > 1:
+        # Init BA with line edges + dual point/line arbitration
+        # (reference GlobalBundleAdjustemntIni, src/Optimizer.cc:
+        # 4339-4381: point-BA ∥ line-BA threads -> per-unit-error pose
+        # pick -> joint BA). Line endpoints ride as landmark slots
+        # appended after the point table.
+        from splslam_tpu.optim.ba import ba_solve_arbitrated
+        from splslam_tpu.optim.pose_gn import line_coefficients
+
+        lcap_t = st.lns.xyz.shape[0]
+        coef1 = line_coefficients(f1.lines.seg)
+        coef2 = line_coefficients(f2.lines.seg)
+        Ep = 2 * N
+
+        def line_edges(ll, coefs, cam_id, e0):
+            ok = ll >= 0
+            sl_s = L + 2 * jnp.clip(ll, 0)
+            rows = jnp.arange(Lc, dtype=jnp.int32)
+            base = e0 + rows * 2
+            return (
+                jnp.full((2 * Lc,), cam_id, jnp.int32),
+                jnp.stack([sl_s, sl_s + 1], 1).reshape(-1),
+                jnp.stack([coefs, coefs], 1).reshape(-1, 3),
+                jnp.repeat(ok, 2),
+                jnp.stack([base + 1, base], 1).reshape(-1),
+            )
+
+        c1, l1_, co1, o1, p1_ = line_edges(ll1, coef1, 0, Ep)
+        c2, l2_, co2, o2, p2_ = line_edges(ll2, coef2, 1, Ep + 2 * Lc)
+        El = 4 * Lc
+        prob = prob._replace(
+            xyz=jnp.concatenate(
+                [st.pts.xyz, st.lns.xyz[:, (0, 2), :].reshape(-1, 3)]
+            ),
+            lm_ok=jnp.concatenate(
+                [st.pts.valid, jnp.repeat(st.lns.valid, 2)]
+            ),
+            e_cam=jnp.concatenate([e_cam, c1, c2]),
+            e_lm=jnp.concatenate([jnp.clip(lm_rows, 0), l1_, l2_]),
+            e_uv=jnp.concatenate([e_uv, jnp.zeros((El, 2))]),
+            e_ur=jnp.concatenate(
+                [jnp.full((Ep,), -1.0), jnp.full((El,), -1.0)]
+            ),
+            e_inv_sigma2=jnp.concatenate([e_sig, jnp.full((El,), 0.25)]),
+            e_ok=jnp.concatenate([e_ok, o1, o2]),
+            e_coef=jnp.concatenate([jnp.zeros((Ep, 3)), co1, co2]),
+            e_line=jnp.concatenate(
+                [jnp.zeros((Ep,), bool), jnp.ones((El,), bool)]
+            ),
+            e_pair=jnp.concatenate(
+                [jnp.full((Ep,), -1, jnp.int32), p1_, p2_]
+            ),
+        )
+        res = ba_solve_arbitrated(cam, prob, rounds=2, iters=8, n_free=2)
+        ends = res.xyz[L:L + 2 * lcap_t].reshape(lcap_t, 2, 3)
+        xyz3_opt = jnp.stack(
+            [ends[:, 0], 0.5 * (ends[:, 0] + ends[:, 1]), ends[:, 1]], 1
+        )
+        st = st._replace(
+            lns=st.lns._replace(
+                xyz=jnp.where(st.lns.valid[:, None, None], xyz3_opt,
+                              st.lns.xyz)
+            )
+        )
+    else:
+        res = ba_solve(cam, prob, rounds=2, iters=8, n_free=2)
     T2_opt = res.Tcw[1]
     st = st._replace(
-        pts=st.pts._replace(xyz=res.xyz),
+        pts=st.pts._replace(xyz=res.xyz[:L]),
         kfs=st.kfs._replace(Tcw=st.kfs.Tcw.at[1].set(T2_opt)),
     )
     # Drop landmarks whose edges became outliers in both views.
-    bad2 = (prob.e_ok & ~res.e_inlier)[N:]
+    bad2 = (prob.e_ok & ~res.e_inlier)[N:2 * N]
     lm2_f = jnp.where(bad2, -1, lm2)
     st = st._replace(kfs=st.kfs._replace(
         lm_idx=st.kfs.lm_idx.at[1].set(lm2_f)

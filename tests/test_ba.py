@@ -205,3 +205,193 @@ def test_gba_sharded_matches_single_device():
         assert np.linalg.norm(dt) < 0.01, (c, dt)
     err = np.linalg.norm(np.asarray(xyz_s) - X_gt, axis=-1)
     assert np.median(err) < 0.02
+
+
+def _add_line_edges_synthetic(cam, prob, Tcw_gt, n_lines=24,
+                              perturb=0.08, seed=5):
+    """Append synthetic 3D segments as line-endpoint landmark slots +
+    paired 1-dof edges (reference line edges, src/Optimizer.cc:2630-2753)."""
+    from splslam_tpu.optim.pose_gn import line_coefficients
+
+    rng = np.random.default_rng(seed)
+    n_cams = Tcw_gt.shape[0]
+    L = prob.xyz.shape[0]
+    S_gt = rng.uniform([-2, -1.5, -1], [2, 1.5, 1], (n_lines, 3))
+    d = rng.normal(0, 1, (n_lines, 3))
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    E_gt = S_gt + 0.8 * d
+    ends_gt = np.stack([S_gt, E_gt], 1).astype(np.float32)  # [Q,2,3]
+
+    le_cam, le_lm, le_coef, le_pair = [], [], [], []
+    Ep = prob.e_cam.shape[0]
+    for c in range(n_cams):
+        uv_s, z_s = _project(cam, Tcw_gt[c], ends_gt[:, 0])
+        uv_e, z_e = _project(cam, Tcw_gt[c], ends_gt[:, 1])
+        seg = np.concatenate([uv_s, uv_e], -1)  # [Q,4]
+        coef = np.asarray(line_coefficients(jnp.asarray(seg, jnp.float32)))
+        for q in range(n_lines):
+            if z_s[q] > 0.1 and z_e[q] > 0.1:
+                base = Ep + len(le_cam)
+                le_cam += [c, c]
+                le_lm += [L + 2 * q, L + 2 * q + 1]
+                le_coef += [coef[q], coef[q]]
+                le_pair += [base + 1, base]
+    El = len(le_cam)
+    ends0 = ends_gt + rng.normal(0, perturb, ends_gt.shape).astype(np.float32)
+    new = prob._replace(
+        xyz=jnp.concatenate([prob.xyz, jnp.asarray(ends0.reshape(-1, 3))]),
+        lm_ok=jnp.concatenate([prob.lm_ok, jnp.ones((2 * n_lines,), bool)]),
+        e_cam=jnp.concatenate([prob.e_cam, jnp.asarray(le_cam, jnp.int32)]),
+        e_lm=jnp.concatenate([prob.e_lm, jnp.asarray(le_lm, jnp.int32)]),
+        e_uv=jnp.concatenate([prob.e_uv, jnp.zeros((El, 2))]),
+        e_ur=jnp.concatenate([prob.e_ur, jnp.full((El,), -1.0)]),
+        e_inv_sigma2=jnp.concatenate([prob.e_inv_sigma2, jnp.ones((El,))]),
+        e_ok=jnp.concatenate([prob.e_ok, jnp.ones((El,), bool)]),
+        e_coef=jnp.concatenate(
+            [jnp.zeros((Ep, 3)), jnp.asarray(np.array(le_coef, np.float32))]
+        ),
+        e_line=jnp.concatenate(
+            [jnp.zeros((Ep,), bool), jnp.ones((El,), bool)]
+        ),
+        e_pair=jnp.concatenate(
+            [jnp.full((Ep,), -1, jnp.int32), jnp.asarray(le_pair, jnp.int32)]
+        ),
+    )
+    return new, ends_gt
+
+
+def _line_residual(cam, Tcw, X, coef):
+    pc = X @ np.asarray(Tcw)[:3, :3].T + np.asarray(Tcw)[:3, 3]
+    u = float(cam.fx) * pc[:, 0] / pc[:, 2] + float(cam.cx)
+    v = float(cam.fy) * pc[:, 1] / pc[:, 2] + float(cam.cy)
+    return coef[:, 0] * u + coef[:, 1] * v + coef[:, 2]
+
+
+def test_ba_line_edges_reduce_line_error():
+    """Line-endpoint edges pull perturbed 3D segments back onto their
+    observed 2D lines (the repo's line edges match the reference's
+    EdgeSE3ProjectXYZLines semantics, include/Optimizer.h:80-110)."""
+    cam, prob, Tcw_gt, X_gt = _make_problem(n_cams=5, n_pts=80, noise=0.1)
+    prob, ends_gt = _add_line_edges_synthetic(cam, prob, Tcw_gt)
+    res = ba_solve(cam, prob, rounds=2, iters=6, n_free=prob.Tcw.shape[0])
+    L = X_gt.shape[0]
+    ends = np.asarray(res.xyz[L:]).reshape(-1, 2, 3)
+    ends0 = np.asarray(prob.xyz[L:]).reshape(-1, 2, 3)
+    # residuals against the first camera's observed lines
+    from splslam_tpu.optim.pose_gn import line_coefficients
+    uv_s, _ = _project(cam, Tcw_gt[0], ends_gt[:, 0])
+    uv_e, _ = _project(cam, Tcw_gt[0], ends_gt[:, 1])
+    coef = np.asarray(line_coefficients(
+        jnp.asarray(np.concatenate([uv_s, uv_e], -1), jnp.float32)))
+    r0 = np.abs(_line_residual(cam, Tcw_gt[0], ends0[:, 0], coef))
+    r1 = np.abs(_line_residual(cam, res.Tcw[0], ends[:, 0], coef))
+    assert np.median(r1) < 0.25 * np.median(r0), (np.median(r0), np.median(r1))
+    # point part still converges
+    err = np.linalg.norm(np.asarray(res.xyz[:L]) - X_gt, axis=-1)
+    assert np.median(err) < 0.03
+
+
+def test_ba_arbitrated_matches_reference_shape():
+    """Dual point/line BA with per-KF pose arbitration + joint pass
+    (reference LocalBundleAdjustmentmain, src/Optimizer.cc:2875-2902)
+    recovers poses at least as well as the point-only solve."""
+    from splslam_tpu.optim.ba import ba_solve_arbitrated
+
+    cam, prob, Tcw_gt, X_gt = _make_problem(n_cams=5, n_pts=80, noise=0.2)
+    prob, ends_gt = _add_line_edges_synthetic(cam, prob, Tcw_gt)
+    res = ba_solve_arbitrated(
+        cam, prob, rounds=2, iters=6, n_free=prob.Tcw.shape[0]
+    )
+    for c in range(1, Tcw_gt.shape[0]):
+        dt = np.asarray(res.Tcw[c])[:3, 3] - Tcw_gt[c][:3, 3]
+        assert np.linalg.norm(dt) < 0.02, (c, dt)
+    # Line-coefficient residuals only constrain endpoints onto the
+    # back-projected line (position ALONG it is gauge — same in the
+    # reference's line edges), so assert residual error, not 3D position.
+    L = X_gt.shape[0]
+    ends = np.asarray(res.xyz[L:]).reshape(-1, 2, 3)
+    ends0 = np.asarray(prob.xyz[L:]).reshape(-1, 2, 3)
+    from splslam_tpu.optim.pose_gn import line_coefficients
+    uv_s, _ = _project(cam, Tcw_gt[0], ends_gt[:, 0])
+    uv_e, _ = _project(cam, Tcw_gt[0], ends_gt[:, 1])
+    coef = np.asarray(line_coefficients(
+        jnp.asarray(np.concatenate([uv_s, uv_e], -1), jnp.float32)))
+    r0 = np.abs(_line_residual(cam, Tcw_gt[0], ends0[:, 0], coef))
+    r1 = np.abs(_line_residual(cam, res.Tcw[0], ends[:, 0], coef))
+    assert np.median(r1) < 0.3 * np.median(r0), (np.median(r0), np.median(r1))
+
+
+def test_mapping_step_moves_lines():
+    """With line edges in local BA, perturbed map-line endpoints move
+    under mapping_step (the round-1 gap: lines never optimized after
+    triangulation). Map lines + observations are injected directly so
+    the test does not depend on detector recall."""
+    from splslam_tpu.optim.pose_gn import line_coefficients
+    from splslam_tpu.slam.map import MapState
+    from splslam_tpu.slam.mapping_ops import mapping_step
+
+    cam = _make_cam()
+    rng = np.random.default_rng(0)
+    K, N, Lf, P, Q = 6, 64, 16, 512, 32
+    st = MapState.empty(P, Q, 16, N, Lf)
+    Tcw_gt = _lookat_poses(K, seed=2)
+    X_gt = rng.uniform([-2, -1.5, -1], [2, 1.5, 1], (N, 3)).astype(np.float32)
+    S_gt = rng.uniform([-2, -1.5, -1], [2, 1.5, 1], (Q, 3)).astype(np.float32)
+    d = rng.normal(0, 1, (Q, 3)); d /= np.linalg.norm(d, -1, keepdims=True)
+    E_gt = (S_gt + 0.7 * d).astype(np.float32)
+
+    kfs = st.kfs
+    for k in range(K):
+        uv, z = _project(cam, Tcw_gt[k], X_gt)
+        uv_s, _ = _project(cam, Tcw_gt[k], S_gt)
+        uv_e, _ = _project(cam, Tcw_gt[k], E_gt)
+        seg = np.concatenate([uv_s, uv_e], -1).astype(np.float32)
+        kfs = kfs._replace(
+            Tcw=kfs.Tcw.at[k].set(jnp.asarray(Tcw_gt[k])),
+            xy=kfs.xy.at[k].set(jnp.asarray(uv.astype(np.float32))),
+            fvalid=kfs.fvalid.at[k].set(True),
+            lm_idx=kfs.lm_idx.at[k].set(jnp.arange(N, dtype=jnp.int32)),
+            lseg=kfs.lseg.at[k].set(jnp.asarray(seg[:Lf])),
+            llen=kfs.llen.at[k].set(jnp.asarray(
+                np.linalg.norm(uv_e - uv_s, axis=-1)[:Lf].astype(np.float32))),
+            lvalid=kfs.lvalid.at[k].set(True),
+            ll_idx=kfs.ll_idx.at[k].set(
+                jnp.arange(Lf, dtype=jnp.int32)),
+            valid=kfs.valid.at[k].set(True),
+        )
+    pts = st.pts._replace(
+        xyz=st.pts.xyz.at[:N].set(jnp.asarray(X_gt)),
+        valid=st.pts.valid.at[:N].set(True),
+        n_obs=st.pts.n_obs.at[:N].set(2 * K),
+        n_visible=st.pts.n_visible.at[:N].set(K),
+        n_found=st.pts.n_found.at[:N].set(K),
+    )
+    mid_gt = 0.5 * (S_gt + E_gt)
+    xyz3 = np.stack([S_gt, mid_gt, E_gt], 1)
+    pert = xyz3.copy()
+    pert[:Lf] = xyz3[:Lf] + rng.normal(0, 0.03, (Lf, 3, 3)).astype(np.float32)
+    lns = st.lns._replace(
+        xyz=st.lns.xyz.at[:Q].set(jnp.asarray(pert)),
+        valid=st.lns.valid.at[:Q].set(True),
+        n_obs=st.lns.n_obs.at[:Q].set(K),
+        n_visible=st.lns.n_visible.at[:Q].set(K),
+        n_found=st.lns.n_found.at[:Q].set(K),
+    )
+    st = st._replace(kfs=kfs, pts=pts, lns=lns,
+                     n_pts=jnp.int32(N), n_lns=jnp.int32(Q),
+                     n_kfs=jnp.int32(K))
+    scales = jnp.array([1.2 ** i for i in range(8)], jnp.float32)
+    st2, _ = mapping_step(st, jnp.int32(K - 1), cam, scales,
+                          with_lines=True)
+    out = np.asarray(st2.lns.xyz[:Lf])
+    # perturbed endpoints moved (lines ARE optimized now) ...
+    moved = np.abs(out - pert[:Lf]).max()
+    assert moved > 1e-4, moved
+    # ... and the line residual against KF0's observed lines shrank
+    uv_s, _ = _project(cam, Tcw_gt[0], S_gt[:Lf])
+    uv_e, _ = _project(cam, Tcw_gt[0], E_gt[:Lf])
+    coef = np.asarray(line_coefficients(jnp.asarray(
+        np.concatenate([uv_s, uv_e], -1), jnp.float32)))
+    r0 = np.abs(_line_residual(cam, Tcw_gt[0], pert[:Lf, 0], coef))
+    r1 = np.abs(_line_residual(cam, np.asarray(st2.kfs.Tcw[0]), out[:, 0], coef))
+    assert np.median(r1) < 0.5 * np.median(r0), (np.median(r0), np.median(r1))
