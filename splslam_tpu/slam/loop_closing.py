@@ -313,6 +313,9 @@ class LoopCloser:
         self.consistent: list[tuple[set, int]] = []
         self.last_loop_kf = -100
         self.verified_loops: list[tuple[int, int]] = []
+        self.loop_edges: list[tuple[int, int]] = []  # corrected loops,
+        #   kept permanently in the essential graph (reference
+        #   KeyFrame::AddLoopEdge, src/LoopClosing.cc:575-578)
         self.corrections = 0
 
     # ------------------------------------------------------------------
@@ -407,7 +410,9 @@ class LoopCloser:
         # loop edge measures S_kf,cand: relative similarity current<-loop.
         # Our pose-graph residual uses S_ji with i=kf, j=cand in CAMERA
         # frames: S12 maps cand-cam -> kf-cam, which IS S_ij relative.
-        edges = _build_pose_graph_edges(sys.map, n, kf, cand, S12)
+        edges = _build_pose_graph_edges(
+            sys.map, n, kf, cand, S12, past_loops=self.loop_edges
+        )
         K = sys.map.kfs.Tcw.shape[0]
         Tcw = sys.map.kfs.Tcw
         free = jnp.arange(K) < n
@@ -421,8 +426,39 @@ class LoopCloser:
         sys.map = _apply_pose_graph(
             sys.map, s_f, R_f, t_f, jnp.arange(K) < n
         )
+        # SearchAndFuse (reference :589-645): project the loop area's
+        # landmarks into the corrected current covisible group and merge
+        # duplicates (loop points win).
+        from splslam_tpu.slam.mapping_ops import _topk_covisible
+
+        cur_ids, _ = _topk_covisible(sys.map, jnp.int32(kf), 7)
+        cur_group = jnp.concatenate([jnp.int32(kf)[None], cur_ids])
+        loop_ids, _ = _topk_covisible(sys.map, jnp.int32(cand), 7)
+        loop_rows = sys.map.kfs.lm_idx[jnp.clip(
+            jnp.concatenate([jnp.int32(cand)[None], loop_ids]), 0
+        )]
+        flat = jnp.where(
+            (jnp.concatenate([jnp.int32(cand)[None], loop_ids]) >= 0)[:, None],
+            loop_rows, -1,
+        ).reshape(-1)
+        s_ = jnp.sort(flat)
+        F = s_.shape[0]
+        first = jnp.concatenate(
+            [s_[:1] >= 0, (s_[1:] != s_[:-1]) & (s_[1:] >= 0)]
+        )
+        key_ = jnp.where(first, jnp.arange(F, dtype=jnp.int32), F)
+        sel = -jax.lax.top_k(-key_, min(4096, F))[0]
+        loop_lms = jnp.where(sel < F, s_[jnp.clip(sel, 0, F - 1)], -1)
+        sys.map = loop_search_and_fuse(
+            sys.map, cur_group, loop_lms, sys.cam, sys.scales,
+        )
+        self.loop_edges.append((kf, cand))
         self.corrections += 1
         sys.mapper.big_change_idx += 1
+        # Global BA after correction (the reference launches the GBA
+        # thread from CorrectLoop, src/LoopClosing.cc:581; here it is the
+        # next device dispatch).
+        self.run_global_ba(rounds=1)
         # refresh host-side pose log for subsequent Tcr reconstruction
         kf_Tcw = np.asarray(sys.map.kfs.Tcw[:n])
         for k in range(n):

@@ -111,6 +111,80 @@ def pnp_ransac(
     return T, counts[best], inl
 
 
+def _dlt_pose_from_lines(coef_n: jax.Array, X3: jax.Array) -> jax.Array:
+    """Minimal pose from 6 line correspondences, start+end 3D points each
+    ([6,3] normalized line coefs, [6,2,3] start/end world points) ->
+    Tcw (4,4). Each 3D point on the observed 2D line contributes one
+    linear constraint l'·(P X_h) = 0; collinear points only give 2
+    independent constraints per line, so 6 lines supply the 12 (>= 11
+    needed) equations for the DLT on the 12 P entries (the TPU-native
+    equivalent of the reference's EPnL control-point solve,
+    src/PnPsolver.cc:960 compute_pose_Lines)."""
+    Xf = X3.reshape(12, 3)
+    lf = jnp.repeat(coef_n, 2, axis=0)                 # [12,3]
+    Xh = jnp.concatenate([Xf, jnp.ones((12, 1))], -1)  # [12,4]
+    A = jnp.concatenate(
+        [lf[:, 0:1] * Xh, lf[:, 1:2] * Xh, lf[:, 2:3] * Xh], axis=-1
+    )                                                   # [12,12]
+    _, _, vt = jnp.linalg.svd(A)
+    P = vt[-1].reshape(3, 4)
+    P = P * jnp.sign(jnp.linalg.det(P[:, :3]))
+    U, s, Vt = jnp.linalg.svd(P[:, :3])
+    R = U @ Vt
+    t = P[:, 3] / jnp.maximum(jnp.mean(s), 1e-12)
+    return jnp.eye(4).at[:3, :3].set(R).at[:3, 3].set(t)
+
+
+@partial(jax.jit, static_argnames=("n_hyp",))
+def epnl_ransac(
+    key: jax.Array,
+    cam: Camera,
+    coef: jax.Array,         # [L,3] observed normalized line coefficients
+    xyz3: jax.Array,         # [L,3,3] matched map-line start/mid/end (world)
+    mask: jax.Array,         # [L] bool — correspondence exists
+    n_hyp: int = 128,
+) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """Line-only minimal RANSAC (the reference's EPnL,
+    PnPsolver::iterateLines src/PnPsolver.cc:367-447): 4-line hypotheses
+    solved by DLT, scored by the midpoint line-coefficient residual at
+    the 1-dof chi2 3.841 gate (SetRansacParametersLines :70-71,
+    CheckInlierLines :610). Returns (Tcw, n_inliers, inlier_mask)."""
+    L = coef.shape[0]
+    # lines in normalized image coords: l' = K^T l (so l'·[xn,yn,1] ∝
+    # l·[u,v,1]); renormalize to lx'^2+ly'^2=1 for pixel-comparable
+    # residual scoring.
+    lp = jnp.stack(
+        [coef[:, 0] * cam.fx, coef[:, 1] * cam.fy,
+         coef[:, 0] * cam.cx + coef[:, 1] * cam.cy + coef[:, 2]], axis=-1
+    )
+    logits = jnp.where(mask, 0.0, -1e9)
+    g = jax.random.gumbel(key, (n_hyp, L)) + logits[None]
+    _, samples = jax.lax.top_k(g, 6)  # [n_hyp, 6]
+
+    def resid(T):
+        mid = xyz3[:, 1]
+        pc = mid @ T[:3, :3].T + T[:3, 3]
+        zs = jnp.where(pc[:, 2] > 1e-6, pc[:, 2], 1e-6)
+        u = cam.fx * pc[:, 0] / zs + cam.cx
+        v = cam.fy * pc[:, 1] / zs + cam.cy
+        r = coef[:, 0] * u + coef[:, 1] * v + coef[:, 2]
+        # sigma ~2 px on line-midpoint residuals
+        return (r * r) * 0.25, pc[:, 2] > 1e-6
+
+    def per_hyp(idx):
+        T = _dlt_pose_from_lines(lp[idx], xyz3[idx][:, (0, 2), :])
+        chi2, z_ok = resid(T)
+        inl = mask & z_ok & (chi2 <= 3.841)
+        return T, jnp.sum(inl.astype(jnp.int32))
+
+    Ts, counts = jax.vmap(per_hyp)(samples)
+    best = jnp.argmax(counts)
+    T = Ts[best]
+    chi2, z_ok = resid(T)
+    inl = mask & z_ok & (chi2 <= 3.841)
+    return T, counts[best], inl
+
+
 @jax.jit
 def reloc_attempt(
     key: jax.Array,
@@ -122,9 +196,15 @@ def reloc_attempt(
     kf_lm_xyz: jax.Array,   # [N,3]
     kf_ldesc: jax.Array,    # [Lk,8] candidate keyframe LBD descriptors
     kf_ll: jax.Array,       # [Lk] map-line ids (-1 none)
-    kf_ll_mid: jax.Array,   # [Lk,3] their midpoints (world)
+    kf_ll_xyz3: jax.Array,  # [Lk,3,3] their start/mid/end (world)
 ):
-    """One relocalization attempt against one candidate keyframe.
+    """One relocalization attempt against one candidate keyframe — the
+    reference's RelocalizationBoth staging (src/Tracking.cc:3064-3314):
+    point EPnP RANSAC ∥ line EPnL RANSAC (the better seed wins), joint
+    point+line GN, then a staged projection-search escalation that
+    re-matches the candidate's landmarks by projection when the inlier
+    count lands between 10 and 50 (:3236-3297, the wider second window
+    is RelocalizationBothTwiceSearch :3314).
     Returns (Tcw, n_inliers, lm_gid [N], ll_gid [Lc])."""
     N = frame.feat.capacity
     Lc = frame.lines.capacity
@@ -150,31 +230,102 @@ def reloc_attempt(
     ll_gid = jnp.full((Lc,), -1, jnp.int32).at[lcols].set(
         jnp.where(lrows, kf_ll, -1), mode="drop"
     )
-    ll_mid = jnp.zeros((Lc, 3)).at[lcols].set(kf_ll_mid, mode="drop")
+    ll_xyz3 = jnp.zeros((Lc, 3, 3)).at[lcols].set(kf_ll_xyz3, mode="drop")
+    ll_mid = ll_xyz3[:, 1]
 
+    from splslam_tpu.optim.pose_gn import line_coefficients
+
+    coef = line_coefficients(frame.lines.seg)
+
+    # --- seed A: point EPnP-style RANSAC ---
     T0, n0, inl0 = pnp_ransac(
         key, cam, frame.feat.xy, assoc_xyz, 1.0 / frame.feat.sigma2, has
     )
-    # GN refinement with points + line midpoints — the reference's
-    # PoseOptimizationmain after EPnP/EPnL.
-    from splslam_tpu.optim.pose_gn import line_coefficients
+    # --- seed B: line EPnL RANSAC (only meaningful with line tables) ---
+    if Lc > 1:
+        TL, nL, inlL = epnl_ransac(
+            jax.random.fold_in(key, 1), cam, coef, ll_xyz3,
+            (ll_gid >= 0) & frame.lines.valid,
+        )
+        # The point seed anchors 2-dof per inlier vs 1-dof for lines;
+        # prefer points unless they are weak (reference escalates to
+        # EPnL when EPnP fails, :3160-3235).
+        use_lines = (n0 < 12) & (nL >= 6) & (2 * nL > n0)
+        T0 = jnp.where(use_lines, TL, T0)
+        inl0 = jnp.where(use_lines, has, inl0)  # let GN re-gate points
 
+    # --- joint GN (PoseOptimizationmain after EPnP/EPnL) ---
     pts_obs = PointObs(
         xyz_w=assoc_xyz, uv=frame.feat.xy,
         inv_sigma2=1.0 / frame.feat.sigma2, mask=has & inl0,
     )
     ln_obs = LineObs(
         mid_w=ll_mid,
-        coef=line_coefficients(frame.lines.seg),
+        coef=coef,
         inv_sigma2=jnp.full((Lc,), 0.25),
         mask=(ll_gid >= 0) & frame.lines.valid,
     )
     res = pose_optimize(T0, cam, pts_obs, ln_obs)
     inlier = res.inlier_pt & has
-    ln_in = res.inlier_ln & (ll_gid >= 0)
+    n_in = jnp.sum(inlier.astype(jnp.int32))
+
+    # --- staged projection-search escalation (:3236-3314) ---
+    def proj_round(Tcw, assoc_gid_c, assoc_xyz_c, window):
+        uv, z = _project_pts(Tcw, cam, kf_lm_xyz)
+        row_ok = (kf_lm >= 0) & kf_fvalid & (z > 0.1)
+        already_col = assoc_gid_c >= 0
+        wmask = M.window_mask(uv, frame.feat.xy, window)
+        d2 = M.hamming_mixed(frame.feat.bits, kf_desc).T
+        d2 = M.masked_distances(
+            d2, row_ok, frame.feat.valid & ~already_col, wmask
+        )
+        mt2, _ = M.nn_match(d2, max_dist=M.TH_HIGH)
+        ok2 = mt2 >= 0
+        c2 = jnp.where(ok2, mt2, N)
+        gid = assoc_gid_c.at[c2].set(
+            jnp.where(ok2, kf_lm, -1), mode="drop"
+        )
+        xyz = assoc_xyz_c.at[c2].set(kf_lm_xyz, mode="drop")
+        obs = PointObs(
+            xyz_w=xyz, uv=frame.feat.xy,
+            inv_sigma2=1.0 / frame.feat.sigma2, mask=gid >= 0,
+        )
+        r = pose_optimize(Tcw, cam, obs, ln_obs)
+        return r, gid, xyz
+
+    short = (n_in < 50) & (n_in >= 8)
+    res2, gid2, xyz2 = proj_round(res.Tcw, assoc_gid, assoc_xyz, 10.0)
+    n2 = jnp.sum((res2.inlier_pt & (gid2 >= 0)).astype(jnp.int32))
+    # TwiceSearch: wider window when still short
+    res3, gid3, xyz3b = proj_round(res2.Tcw, gid2, xyz2, 16.0)
+    n3 = jnp.sum((res3.inlier_pt & (gid3 >= 0)).astype(jnp.int32))
+    use3 = short & (n2 < 50) & (n3 > n2)
+    use2 = short & ~use3 & (n2 > n_in)
+
+    def pick(a, b, c):
+        return jnp.where(use3, c, jnp.where(use2, b, a))
+
+    T_f = pick(res.Tcw, res2.Tcw, res3.Tcw)
+    gid_f = pick(jnp.where(inlier, assoc_gid, -1),
+                 jnp.where(res2.inlier_pt & (gid2 >= 0), gid2, -1),
+                 jnp.where(res3.inlier_pt & (gid3 >= 0), gid3, -1))
+    n_f = pick(n_in, n2, n3)
+    ln_f = pick(res.inlier_ln, res2.inlier_ln, res3.inlier_ln)
+    ln_in = ln_f & (ll_gid >= 0)
     return (
-        res.Tcw,
-        jnp.sum(inlier.astype(jnp.int32)),
-        jnp.where(inlier, assoc_gid, -1),
+        T_f,
+        n_f,
+        gid_f,
         jnp.where(ln_in, ll_gid, -1),
     )
+
+
+def _project_pts(Tcw, cam: Camera, xyz):
+    R = Tcw[:3, :3]
+    t = Tcw[:3, 3]
+    pc = xyz @ R.T + t
+    z = pc[:, 2]
+    zs = jnp.where(jnp.abs(z) < 1e-6, 1e-6, z)
+    u = cam.fx * pc[:, 0] / zs + cam.cx
+    v = cam.fy * pc[:, 1] / zs + cam.cy
+    return jnp.stack([u, v], axis=-1), z

@@ -592,7 +592,7 @@ class System:
                 kfs.desc[c], kfs.fvalid[c], lm,
                 self.map.pts.xyz[jnp.clip(lm, 0)],
                 kfs.ldesc[c], ll,
-                self.map.lns.xyz[jnp.clip(ll, 0), 1],
+                self.map.lns.xyz[jnp.clip(ll, 0)],
             )
             if int(n_in) >= self.settings.reloc_min_inliers:
                 Tcw_np = np.asarray(Tcw, dtype=np.float32)

@@ -62,10 +62,17 @@ def test_loop_detect_verify_and_correct():
         K3, jnp.float32(1.0),
     )
     Tcw_before = np.asarray(sysm.map.kfs.Tcw[:sysm.n_kfs]).copy()
+    n_valid_before = int(np.asarray(sysm.map.pts.valid).sum())
     sysm.loop_closer._correct(kf, cand, S12)
     Tcw_after = np.asarray(sysm.map.kfs.Tcw[:sysm.n_kfs])
     moved = np.abs(Tcw_after - Tcw_before).max()
     assert moved > 1e-4  # the essential graph actually acted
+    # SearchAndFuse merged duplicate landmarks from the revisited area
+    # (reference src/LoopClosing.cc:589-645), and the loop edge is kept
+    # for future essential graphs (KeyFrame::AddLoopEdge).
+    n_valid_after = int(np.asarray(sysm.map.pts.valid).sum())
+    assert n_valid_after < n_valid_before, (n_valid_before, n_valid_after)
+    assert sysm.loop_closer.loop_edges == [(kf, cand)]
     ate1 = ate_rmse(sysm.poses_reconstructed(), gt)
     assert ate1 < ate0 * 1.15, (ate0, ate1)  # no catastrophic distortion
 

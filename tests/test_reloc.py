@@ -106,3 +106,52 @@ def test_map_save_load_relocalize(tmp_path):
     assert s2.state == TrackingState.OK
     pos = s2.poses()[-1][:3, 3]
     assert np.linalg.norm(pos - gt[5][:3, 3]) < 0.05
+
+
+def test_epnl_ransac_recovers_pose_points_free():
+    """EPnL: the line-only minimal RANSAC (reference PnPsolver::
+    iterateLines, src/PnPsolver.cc:367-447) recovers the camera pose from
+    line correspondences ALONE, with 30% outliers — the case where
+    point-only EPnP has nothing to work with."""
+    from splslam_tpu.geometry.camera import Camera
+    from splslam_tpu.optim.pose_gn import line_coefficients
+    from splslam_tpu.slam.reloc import epnl_ransac
+
+    cam = Camera.create(fx=500.0, fy=500.0, cx=320.0, cy=240.0, bf=50.0,
+                        width=640, height=480)
+    rng = np.random.default_rng(4)
+    L = 40
+    S = rng.uniform([-2, -1.5, 4], [2, 1.5, 8], (L, 3)).astype(np.float32)
+    d = rng.normal(0, 1, (L, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    E = S + 0.8 * d
+    Mm = 0.5 * (S + E)
+    xyz3 = np.stack([S, Mm, E], 1)
+
+    # ground-truth pose: a small rigid motion
+    from splslam_tpu.geometry import se3
+    xi = np.array([0.1, -0.05, 0.08, 0.04, -0.03, 0.05], np.float32)
+    T_gt = np.asarray(se3.se3_exp(jnp.asarray(xi)))
+
+    def proj(X):
+        pc = X @ T_gt[:3, :3].T + T_gt[:3, 3]
+        return np.stack([500.0 * pc[:, 0] / pc[:, 2] + 320.0,
+                         500.0 * pc[:, 1] / pc[:, 2] + 240.0], -1)
+
+    seg = np.concatenate([proj(S), proj(E)], -1).astype(np.float32)
+    # corrupt 30%: wrong 3D lines for those observations
+    bad = rng.choice(L, L * 3 // 10, replace=False)
+    xyz3_in = xyz3.copy()
+    xyz3_in[bad] += rng.uniform(1.0, 2.0, (len(bad), 1, 3)).astype(np.float32)
+    coef = line_coefficients(jnp.asarray(seg))
+    T, n_in, inl = epnl_ransac(
+        jax.random.PRNGKey(0), cam, coef, jnp.asarray(xyz3_in),
+        jnp.ones((L,), bool),
+    )
+    assert int(n_in) >= L - len(bad) - 4
+    err_t = np.linalg.norm(np.asarray(T)[:3, 3] - T_gt[:3, 3])
+    err_R = np.linalg.norm(np.asarray(T)[:3, :3] - T_gt[:3, :3])
+    assert err_t < 0.05, (err_t, np.asarray(T))
+    assert err_R < 0.02, err_R
+    # the corrupted correspondences are classified out
+    assert not np.asarray(inl)[bad].any()
