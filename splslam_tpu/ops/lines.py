@@ -211,14 +211,14 @@ def _refine_segment(p_start, p_end, mag, n_samp: int = 16, probe: int = 2):
     return proj(p_start), proj(p_end)
 
 
-@partial(jax.jit, static_argnames=("capacity", "cell", "min_length"))
-def extract_lines(
+def _detect_level(
     image: jax.Array,
-    capacity: int = 128,
-    cell: int = 24,
-    min_length: float = 24.0,
-) -> LineFeatures:
-    """Detect up to `capacity` line segments in a grayscale (H,W) image."""
+    cell: int,
+    min_length: float,
+):
+    """One detection octave: seeds -> growth -> refinement. Returns
+    (a [C,2], b [C,2], length [C], ok [C], cmax [C]) in THIS level's
+    pixel coordinates."""
     H, W = image.shape
     gx, gy = sobel_gradients(image)
     mag = jnp.sqrt(gx * gx + gy * gy)
@@ -281,6 +281,53 @@ def extract_lines(
     swap = jnp.where(near_vert, d0[:, 1] < 0, d0[:, 0] < 0)
     a = jnp.where(swap[:, None], p_end, p_start)
     b = jnp.where(swap[:, None], p_start, p_end)
+    return a, b, length, ok, cmax
+
+
+@partial(jax.jit, static_argnames=("capacity", "cell", "min_length",
+                                   "n_octaves"))
+def extract_lines(
+    image: jax.Array,
+    capacity: int = 128,
+    cell: int = 24,
+    min_length: float = 24.0,
+    n_octaves: int = 2,
+) -> LineFeatures:
+    """Detect up to `capacity` line segments in a grayscale (H,W) image.
+
+    Multi-octave: the detector runs on `n_octaves` half-resolution levels
+    (the reference detects per pyramid octave with per-octave top-K,
+    src/Lineextractor.cc:119-181, 413-441); coarser octaves recover long
+    low-contrast structures whose per-pixel gradients are too noisy at
+    full resolution. Candidates are mapped to level-0 coordinates and
+    deduplicated jointly (collinear-overlap suppression), then the global
+    top-K by length is kept and described against level-0 gradients."""
+    from splslam_tpu.ops.pyramid import resize_bilinear
+
+    H, W = image.shape
+    cand_a, cand_b, cand_len, cand_ok, cand_resp = [], [], [], [], []
+    lv_img = image
+    for lv in range(n_octaves):
+        s = 2.0 ** lv
+        if lv > 0:
+            lv_img = resize_bilinear(lv_img, (int(round(H / s)),
+                                              int(round(W / s))))
+        a, b, ln, ok, cm = _detect_level(
+            lv_img, cell, max(min_length / s, 12.0)
+        )
+        cand_a.append(a * s)
+        cand_b.append(b * s)
+        cand_len.append(ln * s)
+        cand_ok.append(ok)
+        cand_resp.append(cm)
+    a = jnp.concatenate(cand_a)
+    b = jnp.concatenate(cand_b)
+    length = jnp.concatenate(cand_len)
+    ok = jnp.concatenate(cand_ok)
+    cmax = jnp.concatenate(cand_resp)
+
+    # Gradients at level 0 for dedup/refine/describe.
+    gx, gy = sobel_gradients(image)
 
     # Mean gradient magnitude along the kept run as the response.
     response = jnp.where(ok, length * 0.0 + cmax, 0.0)
@@ -386,10 +433,23 @@ def lbd_descriptor(
 
     feats = jnp.concatenate([stats(g_par), stats(g_perp)], axis=-1)  # [L,8,8]
     flat = feats.reshape(L, N_BANDS * 8)  # [L,64]
-    # Pairwise comparisons between band statistics -> bits. Use a fixed
-    # pseudo-random (but deterministic) pairing of the 64 stats, 256 pairs.
-    i_idx = (jnp.arange(256) * 37) % 64
-    j_idx = ((jnp.arange(256) * 53) + 17) % 64
+    # Structured band-pair comparisons (the real LBD compares statistics
+    # of NEIGHBORING bands, binary_descriptor_custom.cpp): all ordered
+    # band pairs (i<j) x 8 statistics = 224 bits — nearby-band pairs
+    # carry the fine structure, distant pairs the global ramp — plus 32
+    # same-band cross-statistic bits (mean+ vs mean-, std+ vs std-,
+    # parallel vs perpendicular energy).
+    pi_, pj_ = [], []
+    for i in range(N_BANDS):
+        for j in range(i + 1, N_BANDS):
+            for s_ in range(8):
+                pi_.append(i * 8 + s_)
+                pj_.append(j * 8 + s_)
+    for i in range(N_BANDS):
+        pi_ += [i * 8 + 0, i * 8 + 2, i * 8 + 0, i * 8 + 2]
+        pj_ += [i * 8 + 1, i * 8 + 3, i * 8 + 4, i * 8 + 6]
+    i_idx = jnp.asarray(pi_, jnp.int32)
+    j_idx = jnp.asarray(pj_, jnp.int32)
     bits = (flat[:, i_idx] > flat[:, j_idx]).astype(jnp.uint32)
     words = bits.reshape(L, N_WORDS, 32)
     shifts = jnp.arange(32, dtype=jnp.uint32)

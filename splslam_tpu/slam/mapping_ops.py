@@ -585,10 +585,103 @@ def create_new_lines(
     return st
 
 
-def cull_keyframes(st: MapState, kf: jax.Array, max_cull: int = 2) -> MapState:
+def fuse_neighbor_lines(
+    st: MapState, cam: Camera, kf: jax.Array, neighbors: jax.Array,
+) -> MapState:
+    """SearchInNeighborsLines + Linematcher::Fuse (reference
+    src/LocalMapping.cc:1331-1412, src/Linematcher.cc:881): project
+    `kf`'s map-lines' MIDPOINTS into each neighbor; a hit on a line
+    feature that already has a map-line merges the two (keep the one
+    with more observations — MapLine::Replace), a hit on a free feature
+    adds the observation. Gates: midpoint window, LBD distance, and the
+    average-2D-length consistency the line matcher uses everywhere."""
+    Q = st.lns.xyz.shape[0]
+    remap = jnp.arange(Q, dtype=jnp.int32)
+
+    for j in range(neighbors.shape[0]):
+        kfs = st.kfs
+        lns = st.lns
+        nb_id = neighbors[j]
+        nb = jnp.clip(nb_id, 0)
+        nb_ok = (nb_id >= 0) & (nb_id != kf)
+
+        ll = kfs.ll_idx[kf]                          # [Lf]
+        ll_ok = (ll >= 0) & lns.valid[jnp.clip(ll, 0)] & nb_ok
+        qi = jnp.clip(ll, 0)
+        mid = lns.xyz[qi, 1]
+        T2 = kfs.Tcw[nb]
+        pc = mid @ T2[:3, :3].T + T2[:3, 3]
+        zs = jnp.maximum(pc[:, 2], 1e-6)
+        u = cam.fx * pc[:, 0] / zs + cam.cx
+        v = cam.fy * pc[:, 1] / zs + cam.cy
+        uv = jnp.stack([u, v], axis=-1)
+        inimg = (
+            (u >= 0) & (u < cam.width) & (v >= 0) & (v < cam.height)
+            & (pc[:, 2] > 1e-3)
+        )
+        rows_ok = ll_ok & inimg
+
+        nb_mid = 0.5 * (kfs.lseg[nb][:, :2] + kfs.lseg[nb][:, 2:4])
+        wmask = M.window_mask(uv, nb_mid, 10.0)
+        rel = jnp.abs(
+            kfs.llen[nb][None, :] - lns.avg_len2d[qi][:, None]
+        ) / jnp.maximum(lns.avg_len2d[qi][:, None], 1e-6)
+        len_ok = rel < 0.35
+        dmat = M.hamming_matrix(lns.desc[qi], kfs.ldesc[nb])
+        dmat = M.masked_distances(
+            dmat, rows_ok, kfs.lvalid[nb], wmask & len_ok
+        )
+        mt, _ = M.nn_match(dmat, max_dist=M.TH_LOW)
+        hit = mt >= 0
+        col = jnp.clip(mt, 0)
+        tgt = kfs.ll_idx[nb][col]
+
+        both = hit & (tgt >= 0) & (tgt != ll)
+        keep_tgt = lns.n_obs[jnp.clip(tgt, 0)] >= lns.n_obs[qi]
+        winner = jnp.where(keep_tgt, tgt, ll)
+        loser = jnp.where(keep_tgt, ll, tgt)
+        remap = remap.at[jnp.where(both, loser, Q)].set(
+            jnp.where(both, winner, 0), mode="drop"
+        )
+        free_hit = hit & (tgt < 0)
+        nb_row = kfs.ll_idx[nb].at[jnp.where(free_hit, mt, -1)].set(
+            jnp.where(free_hit, ll, -1), mode="drop"
+        )
+        obs_inc = jnp.zeros_like(lns.n_obs).at[
+            jnp.where(free_hit, ll, Q)
+        ].add(1, mode="drop")
+        st = st._replace(
+            kfs=kfs._replace(ll_idx=kfs.ll_idx.at[nb].set(nb_row)),
+            lns=lns._replace(n_obs=lns.n_obs + obs_inc),
+        )
+
+    remap = remap[remap]
+    remap = remap[remap]
+    lns = st.lns
+    merged = remap != jnp.arange(Q, dtype=jnp.int32)
+    ll_idx = st.kfs.ll_idx
+    new_ll = jnp.where(ll_idx >= 0, remap[jnp.clip(ll_idx, 0)], -1)
+    gains = jnp.zeros_like(lns.n_obs).at[jnp.where(merged, remap, Q)].add(
+        lns.n_obs * merged.astype(jnp.int32), mode="drop"
+    )
+    lns = lns._replace(
+        valid=lns.valid & ~merged,
+        n_obs=lns.n_obs + gains,
+    )
+    return st._replace(kfs=st.kfs._replace(ll_idx=new_ll), lns=lns)
+
+
+def cull_keyframes(st: MapState, kf: jax.Array, max_cull: int = 2,
+                   with_lines: bool = False) -> MapState:
     """KeyFrameCulling (reference src/LocalMapping.cc:1577-1751): a local
     keyframe >= 90% of whose landmarks are observed by at least 3 OTHER
     keyframes at the same or finer scale is redundant and marked bad.
+
+    With `with_lines`, a keyframe is erased only if redundant in BOTH
+    modalities (KeyFrameCullingBoth erase-iff-isBad-AND-isBadLines,
+    src/LocalMapping.cc:1577-1625); keyframes observing no lines fall
+    back to the point criterion alone (the reference's empty-line-graph
+    branch).
 
     The per-landmark observer-count-by-octave table makes the scale
     condition a single gather: cnt[lm, o] = number of keyframes observing
@@ -631,6 +724,24 @@ def cull_keyframes(st: MapState, kf: jax.Array, max_cull: int = 2) -> MapState:
         & (ratio > 0.9)
         & (n_feat > 50)
     )
+    if with_lines:
+        # Line redundancy: >= 90% of the keyframe's map-lines observed
+        # by >= 3 other keyframes (single detection octave here, so the
+        # scale gate degenerates to an observer count).
+        Q = st.lns.xyz.shape[0]
+        ll = kfs.ll_idx
+        lok = (ll >= 0) & kfs.lvalid & kfs.valid[:, None] \
+            & st.lns.valid[jnp.clip(ll, 0)]
+        lobs = st.lns.n_obs[jnp.clip(ll, 0)]
+        lredundant = lok & (lobs >= 4)
+        n_lf = jnp.sum(lok.astype(jnp.int32), axis=1)
+        n_lred = jnp.sum(lredundant.astype(jnp.int32), axis=1)
+        lratio = n_lred.astype(jnp.float32) / jnp.maximum(
+            n_lf.astype(jnp.float32), 1.0
+        )
+        # erase iff bad in BOTH graphs; no line observations -> points
+        # decide alone.
+        cand = cand & ((n_lf == 0) | (lratio > 0.9))
     order = jnp.argsort(jnp.where(cand, -ratio, jnp.inf))
     sel = order[:max_cull]
     cull = jnp.zeros((K,), bool).at[sel].set(cand[sel])
@@ -641,10 +752,22 @@ def cull_keyframes(st: MapState, kf: jax.Array, max_cull: int = 2) -> MapState:
         jnp.where(ok & cull[:, None], lm, P).reshape(-1)
     ].add(-jnp.where(kfs.u_right.reshape(-1) >= 0, 2, 1), mode="drop")
     lm_new = jnp.where(cull[:, None], -1, lm)
-    return st._replace(
+    st = st._replace(
         kfs=kfs._replace(valid=new_valid, lm_idx=lm_new),
         pts=st.pts._replace(n_obs=st.pts.n_obs + dec),
     )
+    if with_lines:
+        Q = st.lns.xyz.shape[0]
+        ll = st.kfs.ll_idx
+        lok = ll >= 0
+        ldec = jnp.zeros((Q,), jnp.int32).at[
+            jnp.where(lok & cull[:, None], ll, Q).reshape(-1)
+        ].add(-1, mode="drop")
+        st = st._replace(
+            kfs=st.kfs._replace(ll_idx=jnp.where(cull[:, None], -1, ll)),
+            lns=st.lns._replace(n_obs=st.lns.n_obs + ldec),
+        )
+    return st
 
 
 def build_ba_window(st: MapState, kf: jax.Array):
@@ -932,6 +1055,8 @@ def mapping_step(
     st = fuse_neighbors(
         st, cam, scales, kf, neighbors, scale_factor, n_levels
     )
+    if with_lines:
+        st = fuse_neighbor_lines(st, cam, kf, neighbors)
     cams, lm_ids = build_ba_window(st, kf)
     prob = make_ba_problem(st, cams, lm_ids)
     if with_lines:
@@ -951,7 +1076,7 @@ def mapping_step(
             cam, prob, rounds=ba_rounds, iters=ba_iters, n_free=N_WINDOW
         )
         st = apply_ba_result(st, cams, lm_ids, prob, res)
-    st = cull_keyframes(st, kf)
+    st = cull_keyframes(st, kf, with_lines=with_lines)
     stats = jnp.stack(
         [
             st.n_pts.astype(jnp.float32),

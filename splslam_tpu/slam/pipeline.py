@@ -40,7 +40,8 @@ S_CLOSE_UNTRACKED = 19
 S_N_DEPTH = 20
 S_REF_MATCHES = 21
 S_N_LN_IN = 22
-STATS_LEN = 23
+S_REF_LN_MATCHES = 23
+STATS_LEN = 24
 
 
 class StepState(NamedTuple):
@@ -317,6 +318,16 @@ def _track_body(frame, map_state, prev, th_depth_m, ref_kf, cam, scales,
         & (map_state.pts.n_obs[ref_safe] >= min_obs)
     )
     n_ref_matches = jnp.sum(ref_tracked.astype(jnp.int32))
+    # Reference-KF tracked map LINES (TrackedMapLines, used by
+    # NeedNewKeyFrameBoth's c2, src/Tracking.cc:2288).
+    ref_ll = map_state.kfs.ll_idx[ref_kf]
+    ref_lsafe = jnp.clip(ref_ll, 0)
+    ref_ln_tracked = (
+        (ref_ll >= 0)
+        & map_state.lns.valid[ref_lsafe]
+        & (map_state.lns.n_obs[ref_lsafe] >= min_obs)
+    )
+    n_ref_ln = jnp.sum(ref_ln_tracked.astype(jnp.int32))
 
     stats = jnp.zeros((STATS_LEN,), jnp.float32)
     stats = stats.at[S_POSE].set(res.Tcw.reshape(-1))
@@ -327,6 +338,7 @@ def _track_body(frame, map_state, prev, th_depth_m, ref_kf, cam, scales,
     stats = stats.at[S_N_DEPTH].set(n_depth.astype(jnp.float32))
     stats = stats.at[S_REF_MATCHES].set(n_ref_matches.astype(jnp.float32))
     stats = stats.at[S_N_LN_IN].set(res.n_ln_inliers.astype(jnp.float32))
+    stats = stats.at[S_REF_LN_MATCHES].set(n_ref_ln.astype(jnp.float32))
 
     # Velocity model on device (reference Tracking.cc:652 mVelocity).
     velocity = res.Tcw @ jnp.linalg.inv(prev.Tcw)

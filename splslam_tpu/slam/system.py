@@ -685,7 +685,23 @@ class System:
         c1c = is_stereo and (
             (n_in < ref_matches * 0.25) or need_close
         )
-        c2 = ((n_in < ref_matches * th_ratio) or need_close) and n_in > 15
+        if self.settings.using_line:
+            # NeedNewKeyFrameBoth c2 (reference src/Tracking.cc:2307-2308):
+            # either modality decaying vs its reference keyframe triggers,
+            # with a combined lower floor on total matches.
+            # NOT clamped: with no reference map-lines the line-decay
+            # term must be false (0 < 0*0.8), as in the reference.
+            n_ln_in = int(stats[pipeline.S_N_LN_IN])
+            ref_ln = int(stats[pipeline.S_REF_LN_MATCHES])
+            c2 = (
+                ((n_in < ref_matches * 0.9)
+                 or (n_ln_in < ref_ln * 0.8)
+                 or need_close)
+                and (n_in > 15 or n_ln_in > 10 or n_in + n_ln_in >= 12)
+            )
+        else:
+            c2 = (((n_in < ref_matches * th_ratio) or need_close)
+                  and n_in > 15)
         return (c1a or c1b or c1c) and c2
 
     def _create_keyframe(self, step_state: StepState, Tcw_np: np.ndarray,

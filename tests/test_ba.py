@@ -395,3 +395,60 @@ def test_mapping_step_moves_lines():
     r0 = np.abs(_line_residual(cam, Tcw_gt[0], pert[:Lf, 0], coef))
     r1 = np.abs(_line_residual(cam, np.asarray(st2.kfs.Tcw[0]), out[:, 0], coef))
     assert np.median(r1) < 0.5 * np.median(r0), (np.median(r0), np.median(r1))
+
+
+def test_fuse_neighbor_lines_merges_duplicates():
+    """Duplicate map-lines (same 3D line registered twice in two
+    keyframes) merge under fuse_neighbor_lines (reference
+    SearchInNeighborsLines + Linematcher::Fuse,
+    src/LocalMapping.cc:1331-1412)."""
+    from splslam_tpu.slam.map import MapState
+    from splslam_tpu.slam.mapping_ops import fuse_neighbor_lines
+
+    cam = _make_cam()
+    rng = np.random.default_rng(1)
+    K, N, Lf, P, Q = 2, 8, 8, 64, 32
+    st = MapState.empty(P, Q, 16, N, Lf)
+    Tcw = _lookat_poses(2, seed=3)
+    S = rng.uniform([-2, -1.5, -1], [2, 1.5, 1], (Lf, 3)).astype(np.float32)
+    d = rng.normal(0, 1, (Lf, 3)); d /= np.linalg.norm(d, -1, keepdims=True)
+    E = (S + 0.8 * d).astype(np.float32)
+    desc = rng.integers(0, 2**32, (Lf, 8), dtype=np.uint32)
+
+    kfs = st.kfs
+    lns = st.lns
+    mid = 0.5 * (S + E)
+    for k in range(2):
+        uv_s, _ = _project(cam, Tcw[k], S)
+        uv_e, _ = _project(cam, Tcw[k], E)
+        seg = np.concatenate([uv_s, uv_e], -1).astype(np.float32)
+        llen = np.linalg.norm(uv_e - uv_s, axis=-1).astype(np.float32)
+        # each KF observes ITS OWN copy of every line (duplicates!)
+        own = jnp.arange(Lf, dtype=jnp.int32) + k * Lf
+        kfs = kfs._replace(
+            Tcw=kfs.Tcw.at[k].set(jnp.asarray(Tcw[k])),
+            lseg=kfs.lseg.at[k].set(jnp.asarray(seg)),
+            ldesc=kfs.ldesc.at[k].set(jnp.asarray(desc)),
+            llen=kfs.llen.at[k].set(jnp.asarray(llen)),
+            lvalid=kfs.lvalid.at[k].set(True),
+            ll_idx=kfs.ll_idx.at[k].set(own),
+            valid=kfs.valid.at[k].set(True),
+        )
+        xyz3 = np.stack([S, mid, E], 1)
+        lns = lns._replace(
+            xyz=lns.xyz.at[k*Lf:(k+1)*Lf].set(jnp.asarray(xyz3)),
+            desc=lns.desc.at[k*Lf:(k+1)*Lf].set(jnp.asarray(desc)),
+            avg_len2d=lns.avg_len2d.at[k*Lf:(k+1)*Lf].set(jnp.asarray(llen)),
+            n_obs=lns.n_obs.at[k*Lf:(k+1)*Lf].set(2 - k),  # kf0's copies win
+            valid=lns.valid.at[k*Lf:(k+1)*Lf].set(True),
+        )
+    st = st._replace(kfs=kfs, lns=lns, n_lns=jnp.int32(2 * Lf),
+                     n_kfs=jnp.int32(2))
+    nb = jnp.array([1, -1, -1, -1], jnp.int32)
+    out = fuse_neighbor_lines(st, cam, jnp.int32(0), nb)
+    n_valid = int(np.asarray(out.lns.valid).sum())
+    assert n_valid < 2 * Lf, n_valid          # duplicates merged
+    # both keyframes now reference the SAME surviving map-lines
+    l0 = np.asarray(out.kfs.ll_idx[0]); l1 = np.asarray(out.kfs.ll_idx[1])
+    shared = set(l0[l0 >= 0]) & set(l1[l1 >= 0])
+    assert len(shared) >= Lf // 2, (l0, l1)

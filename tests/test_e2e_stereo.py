@@ -77,7 +77,10 @@ class TestStereoVO:
     @pytest.mark.slow
     def test_batched_equals_sequential(self):
         """vo_batch_step (B frames per dispatch) must produce the same
-        trajectory as per-frame tracking."""
+        trajectory as per-frame tracking. Keyframe insertion is blocked
+        (min_kf_gap) so the comparison isolates the tracking math —
+        KF DECISION timing legitimately differs (the batched path applies
+        the policy at batch boundaries, vo_batch_step docstring)."""
         from splslam_tpu.io.synthetic import make_stereo_sequence
 
         K, bf, frames, gt = make_stereo_sequence(
@@ -88,7 +91,7 @@ class TestStereoVO:
             cy=float(K[1, 2]), bf=float(bf), width=320, height=240,
             n_features=600, n_levels=4, th_depth=40.0, fps=10,
             max_points=8192, max_keyframes=64, local_window=1024,
-            enable_local_mapping=False,
+            enable_local_mapping=False, min_kf_gap=100,
         )
         s1 = System(st, Sensor.STEREO)
         for i, (l, r) in enumerate(frames):
