@@ -106,8 +106,11 @@ def _kernel(ky_ref, kx_ref, img_ref, pat_ref, ang_ref, bits_ref,
             win_scratch.at[j],
             dma_sems.at[j],
         ).wait()
+        # Keep the NATIVE (bf16) window for the pick matmuls — one-hot
+        # row/column selection of a bf16 value is exact, and bf16 MXU
+        # passes run ~4x the f32 rate; moments accumulate in f32.
+        wins.append(win_scratch[j])
         win = win_scratch[j].astype(jnp.float32)
-        wins.append(win)
 
         # IC moments with the remainders folded into the coordinates.
         dy = ys_w - r8.astype(jnp.float32) - C
@@ -127,15 +130,15 @@ def _kernel(ky_ref, kx_ref, img_ref, pat_ref, ang_ref, bits_ref,
         rx2 = jnp.round(ca * x2 - sa * y2).astype(jnp.int32) + C + rc
         ry2 = jnp.round(sa * x2 + ca * y2).astype(jnp.int32) + C + r8
         base = j * WIN_R
-        sel_r1.append((g_rows == ry1[:, None] + base).astype(jnp.float32))
-        sel_r2.append((g_rows == ry2[:, None] + base).astype(jnp.float32))
+        sel_r1.append((g_rows == ry1[:, None] + base).astype(jnp.bfloat16))
+        sel_r2.append((g_rows == ry2[:, None] + base).astype(jnp.bfloat16))
         sel_c1.append((g_cols == rx1[:, None]).astype(jnp.float32))
         sel_c2.append((g_cols == rx2[:, None]).astype(jnp.float32))
 
-    W = jnp.concatenate(wins, axis=0)                  # [8*48, 168]
+    W = jnp.concatenate(wins, axis=0).astype(jnp.bfloat16)  # [8*48, 256]
     R1 = jnp.concatenate(sel_r1, axis=0)               # [2048, 384]
     R2 = jnp.concatenate(sel_r2, axis=0)
-    C1 = jnp.concatenate(sel_c1, axis=0)               # [2048, 168]
+    C1 = jnp.concatenate(sel_c1, axis=0)               # [2048, 256]
     C2 = jnp.concatenate(sel_c2, axis=0)
     picked1 = jnp.dot(R1, W, preferred_element_type=jnp.float32)
     picked2 = jnp.dot(R2, W, preferred_element_type=jnp.float32)

@@ -321,6 +321,25 @@ def update_point_stats(
 
 
 @jax.jit
+def update_point_stats2(
+    st: MapState, visible_ids: jax.Array, found_ids: jax.Array
+) -> MapState:
+    """Fused visible+found counter bump (one pass over the point table —
+    the hot tracking loop calls this every frame)."""
+    vsafe = jnp.clip(visible_ids, 0)
+    fsafe = jnp.clip(found_ids, 0)
+    pts = st.pts._replace(
+        n_visible=st.pts.n_visible.at[vsafe].add(
+            (visible_ids >= 0).astype(jnp.int32)
+        ),
+        n_found=st.pts.n_found.at[fsafe].add(
+            (found_ids >= 0).astype(jnp.int32)
+        ),
+    )
+    return st._replace(pts=pts)
+
+
+@jax.jit
 def update_line_stats(
     st: MapState, visible_ids: jax.Array, found_ids: jax.Array,
     found_len: jax.Array,

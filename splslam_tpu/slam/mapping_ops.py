@@ -671,6 +671,90 @@ def fuse_neighbor_lines(
     return st._replace(kfs=st.kfs._replace(ll_idx=new_ll), lns=lns)
 
 
+def refresh_landmark_stats(
+    st: MapState, cams: jax.Array, lm_ids: jax.Array,
+    scale_factor: float = 1.2, n_levels: int = 8,
+) -> MapState:
+    """ComputeDistinctiveDescriptors + UpdateNormalAndDepth for the local
+    window's landmarks (reference src/MapPoint.cc — the reference runs
+    both after every AddObservation/Fuse; round 1 set them only at
+    creation, so descriptors/normals staled as observations accrued).
+
+    For each window landmark: gather its observations from the window
+    keyframes (lm_idx rows), pick the descriptor with the least MEDIAN
+    Hamming distance to the others, and refresh the mean viewing normal
+    + scale band from the observing keyframes' centers."""
+    C = cams.shape[0]
+    L = lm_ids.shape[0]
+    P = st.pts.xyz.shape[0]
+    kfs = st.kfs
+    gk = jnp.clip(cams, 0)
+    cam_ok = cams >= 0
+
+    lookup = jnp.full((P + 1,), -1, jnp.int32)
+    lookup = lookup.at[jnp.where(lm_ids >= 0, lm_ids, P)].set(
+        jnp.arange(L, dtype=jnp.int32), mode="drop"
+    )
+    lm_rows = kfs.lm_idx[gk]                       # [C,N]
+    slot = lookup[jnp.clip(lm_rows, 0, P)]
+    obs_ok = cam_ok[:, None] & (lm_rows >= 0) & (slot >= 0) & kfs.fvalid[gk]
+
+    # One observation row per (landmark-slot, camera): desc + octave +
+    # distance-to-center. A camera observes a landmark at most once, so
+    # the [L,C] scatter is exact.
+    sl = jnp.where(obs_ok, slot, L)
+    ci = jnp.broadcast_to(jnp.arange(C)[:, None], obs_ok.shape)
+    obs_desc = jnp.zeros((L + 1, C, 8), jnp.uint32).at[sl, ci].set(
+        kfs.desc[gk], mode="drop"
+    )[:L]
+    obs_oct = jnp.zeros((L + 1, C), jnp.int32).at[sl, ci].set(
+        kfs.octave[gk], mode="drop"
+    )[:L]
+    obs_has = jnp.zeros((L + 1, C), bool).at[sl, ci].set(
+        obs_ok, mode="drop"
+    )[:L]
+
+    # Min-median Hamming descriptor (reference ComputeDistinctiveDescriptors).
+    x = jnp.bitwise_xor(obs_desc[:, :, None, :], obs_desc[:, None, :, :])
+    d = jnp.sum(jax.lax.population_count(x), axis=-1).astype(jnp.int32)
+    pair_ok = obs_has[:, :, None] & obs_has[:, None, :]
+    d = jnp.where(pair_ok, d, 1 << 15)
+    med = jnp.median(
+        jnp.where(pair_ok, d, 257).astype(jnp.float32), axis=-1
+    )                                               # [L,C]
+    med = jnp.where(obs_has, med, jnp.inf)
+    best = jnp.argmin(med, axis=-1)                 # [L]
+    n_obs_w = jnp.sum(obs_has.astype(jnp.int32), axis=-1)
+    new_desc = obs_desc[jnp.arange(L), best]
+
+    # Mean viewing normal + scale band from the reference observation
+    # (reference UpdateNormalAndDepth: normal = mean of unit rays,
+    # band from the ref KF's octave and distance).
+    O = -jnp.einsum("cij,ci->cj", kfs.Tcw[gk][:, :3, :3].transpose(0, 2, 1),
+                    kfs.Tcw[gk][:, :3, 3])          # [C,3] centers
+    xyz = st.pts.xyz[jnp.clip(lm_ids, 0)]           # [L,3]
+    rays = xyz[:, None, :] - O[None, :, :]          # [L,C,3]
+    rn = jnp.linalg.norm(rays, axis=-1)
+    unit = rays / jnp.maximum(rn[..., None], 1e-9)
+    normal = jnp.sum(
+        jnp.where(obs_has[..., None], unit, 0.0), axis=1
+    ) / jnp.maximum(n_obs_w[:, None].astype(jnp.float32), 1.0)
+    ref_c = best
+    ref_dist = rn[jnp.arange(L), ref_c]
+    ref_oct = obs_oct[jnp.arange(L), ref_c]
+    dmin, dmax = scale_band(ref_dist, ref_oct, scale_factor, n_levels)
+
+    upd = (lm_ids >= 0) & (n_obs_w >= 2)
+    tgt = jnp.where(upd, lm_ids, P)
+    pts = st.pts._replace(
+        desc=st.pts.desc.at[tgt].set(new_desc, mode="drop"),
+        normal=st.pts.normal.at[tgt].set(normal, mode="drop"),
+        dmin=st.pts.dmin.at[tgt].set(dmin, mode="drop"),
+        dmax=st.pts.dmax.at[tgt].set(dmax, mode="drop"),
+    )
+    return st._replace(pts=pts)
+
+
 def cull_keyframes(st: MapState, kf: jax.Array, max_cull: int = 2,
                    with_lines: bool = False) -> MapState:
     """KeyFrameCulling (reference src/LocalMapping.cc:1577-1751): a local
@@ -1058,6 +1142,9 @@ def mapping_step(
     if with_lines:
         st = fuse_neighbor_lines(st, cam, kf, neighbors)
     cams, lm_ids = build_ba_window(st, kf)
+    # Post-fuse landmark upkeep (reference runs these after every
+    # observation change, src/MapPoint.cc).
+    st = refresh_landmark_stats(st, cams, lm_ids, scale_factor, n_levels)
     prob = make_ba_problem(st, cams, lm_ids)
     if with_lines:
         # Dual point-BA ∥ line-BA with per-KF pose arbitration + joint

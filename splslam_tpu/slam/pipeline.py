@@ -282,16 +282,9 @@ def _track_body(frame, map_state, prev, th_depth_m, ref_kf, cam, scales,
         lwin,
         scale_factor=scale_factor, n_levels=n_levels,
     )
-    # landmark visibility/found statistics
-    map_state = mapmod.update_point_stats(
-        map_state, res.visible_ids,
-        jnp.ones_like(res.visible_ids, bool),
-        jnp.zeros_like(res.visible_ids, bool),
-    )
-    map_state = mapmod.update_point_stats(
-        map_state, res.found_ids,
-        jnp.zeros_like(res.found_ids, bool),
-        jnp.ones_like(res.found_ids, bool),
+    # landmark visibility/found statistics (one fused pass)
+    map_state = mapmod.update_point_stats2(
+        map_state, res.visible_ids, res.found_ids
     )
     if frame.lines.capacity > 1:
         map_state = mapmod.update_line_stats(

@@ -243,7 +243,8 @@ def _line_coefs(seg: jax.Array) -> jax.Array:
 
 @partial(
     jax.jit,
-    static_argnames=("scale_factor", "n_levels", "th_motion", "th_local"),
+    static_argnames=("scale_factor", "n_levels", "th_motion", "th_local",
+                     "gn_rounds", "gn_iters"),
 )
 def track_step(
     cam: Camera,
@@ -266,6 +267,8 @@ def track_step(
     n_levels: int = 8,
     th_motion: float = 7.0,
     th_local: float = 4.0,
+    gn_rounds: int = 3,
+    gn_iters: int = 4,
 ) -> TrackResult:
     """One full tracking step: the reference's TrackWithMotionModel(Both) +
     TrackLocalMap(Both) (src/Tracking.cc:1773-2108, :1836-1899, :2009-2053)
@@ -328,12 +331,16 @@ def track_step(
     # unless points are scarce (low-feature: lines join solve A).
     few_pts = n_mm < 20
     wB = jnp.where(few_pts | (n_lmm >= 10), 1.0, 0.0)
+    gn = dict(rounds=gn_rounds, iters=gn_iters)
     if with_lines:
         wA = jnp.where(few_pts, 1.0, 0.0)
-        resA = pose_optimize(T_pred, cam, pts_obs, ln_obs, line_weight=wA)
-        res1 = pose_optimize(resA.Tcw, cam, pts_obs, ln_obs, line_weight=wB)
+        resA = pose_optimize(T_pred, cam, pts_obs, ln_obs, line_weight=wA,
+                             **gn)
+        res1 = pose_optimize(resA.Tcw, cam, pts_obs, ln_obs, line_weight=wB,
+                             **gn)
     else:
-        res1 = pose_optimize(T_pred, cam, pts_obs, ln_obs, line_weight=0.0)
+        res1 = pose_optimize(T_pred, cam, pts_obs, ln_obs, line_weight=0.0,
+                             **gn)
     assoc_gid = jnp.where(res1.inlier_pt, assoc_gid, -1)
     ll_gid = jnp.where(res1.inlier_ln, ll_gid, -1)
 
@@ -370,10 +377,13 @@ def track_step(
     wB2 = jnp.where(few2 | (n_ln2 >= 10), 1.0, 0.0)
     if with_lines:
         wA2 = jnp.where(few2, 1.0, 0.0)
-        resC = pose_optimize(res1.Tcw, cam, pts_obs2, ln_obs2, line_weight=wA2)
-        res2 = pose_optimize(resC.Tcw, cam, pts_obs2, ln_obs2, line_weight=wB2)
+        resC = pose_optimize(res1.Tcw, cam, pts_obs2, ln_obs2,
+                             line_weight=wA2, **gn)
+        res2 = pose_optimize(resC.Tcw, cam, pts_obs2, ln_obs2,
+                             line_weight=wB2, **gn)
     else:
-        res2 = pose_optimize(res1.Tcw, cam, pts_obs2, ln_obs2, line_weight=0.0)
+        res2 = pose_optimize(res1.Tcw, cam, pts_obs2, ln_obs2,
+                             line_weight=0.0, **gn)
 
     inlier = res2.inlier_pt & (assoc_gid2 != -1)
     # map-landmark associations only (temporal -2 points stay out)

@@ -452,3 +452,64 @@ def test_fuse_neighbor_lines_merges_duplicates():
     l0 = np.asarray(out.kfs.ll_idx[0]); l1 = np.asarray(out.kfs.ll_idx[1])
     shared = set(l0[l0 >= 0]) & set(l1[l1 >= 0])
     assert len(shared) >= Lf // 2, (l0, l1)
+
+
+def test_refresh_landmark_stats_min_median_descriptor():
+    """The distinctive descriptor is the observation with minimum median
+    Hamming distance to the others (reference
+    MapPoint::ComputeDistinctiveDescriptors), and normals refresh to the
+    mean viewing ray."""
+    from splslam_tpu.slam.map import MapState
+    from splslam_tpu.slam.mapping_ops import refresh_landmark_stats
+
+    rng = np.random.default_rng(7)
+    K, N, P = 4, 8, 32
+    st = MapState.empty(P, 2, 16, N, 1)
+    cam = _make_cam()
+    Tcw = _lookat_poses(K, seed=4)
+    X = rng.uniform([-1, -1, -0.5], [1, 1, 0.5], (N, 3)).astype(np.float32)
+
+    # 3 observations share a base descriptor (few flipped bits); 1 is an
+    # outlier -> the winner must be one of the clustered three.
+    base = rng.integers(0, 2**32, (N, 8), dtype=np.uint32)
+    descs = []
+    for k in range(K):
+        d = base.copy()
+        if k == 3:
+            d = rng.integers(0, 2**32, (N, 8), dtype=np.uint32)  # outlier
+        else:
+            d[:, 0] ^= np.uint32(1 << k)  # flip one bit
+        descs.append(d)
+
+    kfs = st.kfs
+    for k in range(K):
+        kfs = kfs._replace(
+            Tcw=kfs.Tcw.at[k].set(jnp.asarray(Tcw[k])),
+            desc=kfs.desc.at[k].set(jnp.asarray(descs[k])),
+            fvalid=kfs.fvalid.at[k].set(True),
+            lm_idx=kfs.lm_idx.at[k].set(jnp.arange(N, dtype=jnp.int32)),
+            valid=kfs.valid.at[k].set(True),
+        )
+    pts = st.pts._replace(
+        xyz=st.pts.xyz.at[:N].set(jnp.asarray(X)),
+        valid=st.pts.valid.at[:N].set(True),
+        n_obs=st.pts.n_obs.at[:N].set(2 * K),
+    )
+    st = st._replace(kfs=kfs, pts=pts, n_pts=jnp.int32(N),
+                     n_kfs=jnp.int32(K))
+    cams = jnp.concatenate([jnp.arange(K, dtype=jnp.int32),
+                            jnp.full((12,), -1, jnp.int32)])
+    lm_ids = jnp.concatenate([jnp.arange(N, dtype=jnp.int32),
+                              jnp.full((8,), -1, jnp.int32)])
+    out = refresh_landmark_stats(st, cams, lm_ids)
+    new_desc = np.asarray(out.pts.desc[:N])
+    # winner is within 1 bit of the cluster base, never the outlier
+    for i in range(N):
+        dd = bin(int(new_desc[i, 0]) ^ int(base[i, 0])).count("1") + sum(
+            bin(int(new_desc[i, w]) ^ int(base[i, w])).count("1")
+            for w in range(1, 8)
+        )
+        assert dd <= 1, (i, dd)
+    # normals point from the cameras toward the points (unit norm)
+    nrm = np.asarray(out.pts.normal[:N])
+    assert np.all(np.abs(np.linalg.norm(nrm, axis=-1) - 1.0) < 0.2)
