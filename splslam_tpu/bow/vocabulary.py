@@ -77,8 +77,14 @@ def _kmedians(bits: np.ndarray, k: int, rng, iters: int = 8) -> np.ndarray:
 
 
 def train(descriptors: np.ndarray, k: int = 10, depth: int = 3,
-          seed: int = 0) -> "Vocab":
-    """Train a k^depth-word vocabulary from [N,8] u32 descriptors."""
+          seed: int = 0, image_ids: np.ndarray | None = None) -> "Vocab":
+    """Train a k^depth-word vocabulary from [N,8] u32 descriptors.
+
+    `image_ids` ([N] int, which image each descriptor came from) enables
+    the TRUE DBoW2 idf weight idf(w) = log(N_images / N_images(w))
+    (TemplatedVocabulary::setNodeWeights); without it a features-per-
+    image proxy stands in (fine for the bundled toy vocabulary, wrong
+    for serious retrieval — pass image_ids when training at scale)."""
     rng = np.random.default_rng(seed)
     bits = _unpack_np(np.asarray(descriptors, np.uint32))
     # level l: k^(l+1) nodes; assignment of samples refined level by level
@@ -97,11 +103,21 @@ def train(descriptors: np.ndarray, k: int = 10, depth: int = 3,
                 new_assign[sel] = parent * k + d.argmin(1)
         assign = new_assign
         level_desc.append(jnp.asarray(_pack_np(centers.reshape(-1, 256))))
-    # idf weights from the training distribution
     W = k ** depth
-    counts = np.bincount(assign, minlength=W).astype(np.float64)
-    n_img_proxy = max(bits.shape[0] / 500.0, 1.0)  # ~features per image
-    idf = np.log(n_img_proxy * 500.0 / np.maximum(counts, 1.0))
+    if image_ids is not None:
+        img = np.asarray(image_ids, np.int64)
+        n_images = int(img.max()) + 1
+        # number of distinct images containing each word
+        pairs = np.unique(np.stack([assign, img], 1), axis=0)
+        n_i = np.bincount(pairs[:, 0], minlength=W).astype(np.float64)
+        # unseen words get weight 0 (DBoW2 convention), not the max idf
+        idf = np.where(
+            n_i > 0, np.log(n_images / np.maximum(n_i, 1.0)), 0.0
+        )
+    else:
+        counts = np.bincount(assign, minlength=W).astype(np.float64)
+        n_img_proxy = max(bits.shape[0] / 500.0, 1.0)  # ~features per image
+        idf = np.log(n_img_proxy * 500.0 / np.maximum(counts, 1.0))
     weights = jnp.asarray(np.maximum(idf, 0.0).astype(np.float32))
     return Vocab(tuple(level_desc), weights, k, depth)
 

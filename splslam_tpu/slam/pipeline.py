@@ -205,17 +205,41 @@ def track_frames_batch(
     loc_mode: jax.Array | bool = False,
 ) -> tuple[MapState, StepState, jax.Array]:
     """Sequential tracking over a batch of prebuilt frames inside one
-    lax.scan: the ~30 ms tunnel dispatch amortizes over the batch."""
+    lax.scan: the ~30 ms tunnel dispatch amortizes over the batch.
+
+    The local landmark window is assembled ONCE per batch (the map is
+    immutable inside the batch — keyframe insertion and mapping run at
+    batch boundaries, see vo_batch_step) and the per-landmark
+    visible/found counters are accumulated across the scan and applied
+    as one scatter — both were ~1 ms/frame of redundant per-frame work
+    on v5e. The reference's per-frame UpdateLocalMap is equivalent here
+    up to within-batch drift of the covisible set."""
+    win = assemble_local_window(map_state, prev.lm_gid, m_local)
+    lcap = frames.lines.seg.shape[1]
+    if lcap > 1:
+        lwin = assemble_line_window(
+            map_state, prev.ll_gid, prev.lm_gid, min(1024, 4 * lcap)
+        )
+    else:
+        from splslam_tpu.slam.tracking import LineWindow
+
+        lwin = LineWindow.empty(1)
 
     def body(carry, frame):
         mst, st = carry
-        mst, st, stats = _track_body(
+        mst, st, out = _track_body(
             frame, mst, st, th_depth_m, ref_kf, cam, scales,
             m_local, scale_factor, n_levels, loc_mode,
+            win=win, lwin=lwin,
         )
-        return (mst, st), stats
+        return (mst, st), out
 
-    (map_state, state), stats = jax.lax.scan(body, (map_state, prev), frames)
+    (map_state, state), (stats, vis_ids, found_ids) = jax.lax.scan(
+        body, (map_state, prev), frames
+    )
+    map_state = mapmod.update_point_stats2(
+        map_state, vis_ids.reshape(-1), found_ids.reshape(-1)
+    )
     return map_state, state, stats
 
 
@@ -247,7 +271,8 @@ def vo_frame_step(
 
 
 def _track_body(frame, map_state, prev, th_depth_m, ref_kf, cam, scales,
-                m_local, scale_factor, n_levels, loc_mode=False):
+                m_local, scale_factor, n_levels, loc_mode=False,
+                win=None, lwin=None):
     from splslam_tpu.slam.tracking import LineWindow
 
     T_pred = prev.velocity @ prev.Tcw
@@ -263,15 +288,17 @@ def _track_body(frame, map_state, prev, th_depth_m, ref_kf, cam, scales,
     pw = jnp.stack([xc, yc, zp], -1) @ Twc_prev[:3, :3].T + Twc_prev[:3, 3]
     last_gid = jnp.where(synth, -2, prev.lm_gid)
     last_xyz = jnp.where(synth[:, None], pw, prev.lm_xyz)
-    win = assemble_local_window(map_state, prev.lm_gid, m_local)
     lcap = frame.lines.capacity
-    if lcap > 1:
-        lwin = assemble_line_window(
-            map_state, prev.ll_gid, prev.lm_gid, min(1024, 4 * lcap)
-        )
-    else:
-        # line pipeline off (capacity-1 tables) — stages are no-ops
-        lwin = LineWindow.empty(1)
+    if win is None:
+        win = assemble_local_window(map_state, prev.lm_gid, m_local)
+    if lwin is None:
+        if lcap > 1:
+            lwin = assemble_line_window(
+                map_state, prev.ll_gid, prev.lm_gid, min(1024, 4 * lcap)
+            )
+        else:
+            # line pipeline off (capacity-1 tables) — stages are no-ops
+            lwin = LineWindow.empty(1)
     res = track_step(
         cam, scales, frame,
         prev.frame.feat.xy, prev.frame.feat.octave, prev.frame.feat.angle,
@@ -282,10 +309,8 @@ def _track_body(frame, map_state, prev, th_depth_m, ref_kf, cam, scales,
         lwin,
         scale_factor=scale_factor, n_levels=n_levels,
     )
-    # landmark visibility/found statistics (one fused pass)
-    map_state = mapmod.update_point_stats2(
-        map_state, res.visible_ids, res.found_ids
-    )
+    # landmark visibility/found statistics: RETURNED to the caller and
+    # applied as one batched scatter after the scan (saves ~1 ms/frame).
     if frame.lines.capacity > 1:
         map_state = mapmod.update_line_stats(
             map_state,
@@ -346,7 +371,7 @@ def _track_body(frame, map_state, prev, th_depth_m, ref_kf, cam, scales,
         ll_mid=map_state.lns.xyz[lsafe, 1],
         ll_len=map_state.lns.avg_len2d[lsafe],
     )
-    return map_state, new_state, stats
+    return map_state, new_state, (stats, res.visible_ids, res.found_ids)
 
 
 def vo_batch_step(

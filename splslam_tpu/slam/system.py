@@ -37,10 +37,15 @@ def _load_vocab(path: str | None):
     from splslam_tpu.bow import vocabulary as V
 
     if path is None:
-        path = os.path.join(
+        assets = os.path.join(
             os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-            "assets", "vocab_small.npz",
+            "assets",
         )
+        # 10^4-word true-idf vocabulary (scripts/train_vocab.py); the
+        # 10^3-word one remains as a fast fallback for tiny tests.
+        path = os.path.join(assets, "vocab_10k.npz")
+        if not os.path.exists(path):
+            path = os.path.join(assets, "vocab_small.npz")
     if path not in _VOCAB_CACHE:
         if path.endswith(".txt"):
             _VOCAB_CACHE[path] = V.load_orbslam_txt(path)

@@ -155,3 +155,51 @@ def test_epnl_ransac_recovers_pose_points_free():
     assert err_R < 0.02, err_R
     # the corrupted correspondences are classified out
     assert not np.asarray(inl)[bad].any()
+
+
+def test_load_orbslam_txt_roundtrip(tmp_path):
+    """load_orbslam_txt parses the real DBoW2 text format (header
+    `k L scoring weighting`, one node per line `parent is_leaf
+    d0..d31 weight`, node id = line index + 1 — reference
+    TemplatedVocabulary::loadFromTextFile, TemplatedVocabulary.h:1338)
+    and the rebuilt tree sends descriptors to the right leaves."""
+    rng = np.random.default_rng(11)
+    k, L = 2, 2
+    # 4 leaf "word" descriptors, well separated; internal nodes = copies
+    leaf_bytes = np.zeros((4, 32), np.uint8)
+    leaf_bytes[0, :8] = 255   # word 0: ones in bytes 0-7
+    leaf_bytes[1, 8:16] = 255
+    leaf_bytes[2, 16:24] = 255
+    leaf_bytes[3, 24:32] = 255
+    lvl1 = np.zeros((2, 32), np.uint8)
+    lvl1[0, :16] = 128        # closer to words 0/1
+    lvl1[1, 16:] = 128        # closer to words 2/3
+    lines = [f"{k} {L} 0 0"]
+
+    def node_line(parent, is_leaf, d, w):
+        return f"{parent} {int(is_leaf)} " + " ".join(
+            str(int(x)) for x in d) + f" {w}"
+    # nodes 1,2 = level-1 children of root(0); nodes 3..6 = leaves
+    lines.append(node_line(0, 0, lvl1[0], 0.0))
+    lines.append(node_line(0, 0, lvl1[1], 0.0))
+    lines.append(node_line(1, 1, leaf_bytes[0], 0.5))
+    lines.append(node_line(1, 1, leaf_bytes[1], 0.6))
+    lines.append(node_line(2, 1, leaf_bytes[2], 0.7))
+    lines.append(node_line(2, 1, leaf_bytes[3], 0.8))
+    p = tmp_path / "voc.txt"
+    p.write_text("\n".join(lines) + "\n")
+
+    voc = V.load_orbslam_txt(str(p))
+    assert voc.k == 2 and voc.depth == 2 and voc.n_words == 4
+    np.testing.assert_allclose(
+        np.asarray(voc.weights), [0.5, 0.6, 0.7, 0.8])
+    # query with the exact leaf descriptors -> each lands in its own word
+    packed = np.zeros((4, 8), np.uint32)
+    for i in range(4):
+        bits = np.unpackbits(leaf_bytes[i], bitorder="little")
+        packed[i] = np.packbits(
+            bits.reshape(8, 32), axis=1, bitorder="little"
+        ).view(np.uint32).reshape(8)
+    words = V.transform_words(
+        voc, jnp.asarray(packed), jnp.ones(4, bool))
+    assert sorted(np.asarray(words).tolist()) == [0, 1, 2, 3]
