@@ -83,6 +83,65 @@ class PlaneScene:
         return img.reshape(height, width).astype(np.float32)
 
 
+class CorridorScene:
+    """World: the inside of a textured box corridor along +z (side walls
+    x = ±half_w, floor/ceiling y = ±half_h, back wall z = z_far). Unlike
+    PlaneScene the visible depth varies continuously along the walls, so
+    two-view geometry is genuinely non-planar: the fundamental/essential
+    model must win the RH score (reference Initializer.cc:218-224) and
+    BA sees a full depth range — the realistic (corridor/KITTI-street)
+    case the planar scenes cannot exercise."""
+
+    def __init__(self, texture: np.ndarray, half_w: float = 1.5,
+                 half_h: float = 1.0, z_far: float = 8.0,
+                 px_per_unit: float = 100.0):
+        self.tex = texture
+        self.hw = half_w
+        self.hh = half_h
+        self.zf = z_far
+        self.ppu = px_per_unit
+
+    def render(self, K: np.ndarray, Twc: np.ndarray, height: int,
+               width: int) -> np.ndarray:
+        us, vs = np.meshgrid(np.arange(width), np.arange(height))
+        pix = np.stack([us, vs, np.ones_like(us)], axis=-1).reshape(-1, 3)
+        rays_w = (pix @ np.linalg.inv(K).T) @ Twc[:3, :3].T
+        o = Twc[:3, 3]
+        eps = 1e-9
+        big = np.float64(np.inf)
+
+        # Each surface: (t, texture-u, texture-v, texture offset) with
+        # invalid rays masked to t=inf; the closest surface wins.
+        def hit(axis, value, uax, vax, off):
+            d = rays_w[:, axis]
+            t = (value - o[axis]) / np.where(np.abs(d) < eps, eps, d)
+            p = o[None] + rays_w * t[:, None]
+            ok = t > 1e-6
+            for ax, lim in ((0, self.hw), (1, self.hh)):
+                if ax != axis:
+                    ok &= np.abs(p[:, ax]) <= lim + 1e-6
+            ok &= p[:, 2] <= self.zf + 1e-6
+            return (np.where(ok, t, big), p[:, uax] + off[0],
+                    p[:, vax] + off[1])
+
+        surfaces = [
+            hit(0, -self.hw, 2, 1, (0.0, 0.0)),     # left wall  (z,y)
+            hit(0, +self.hw, 2, 1, (7.3, 3.1)),     # right wall
+            hit(1, -self.hh, 2, 0, (2.9, 11.7)),    # ceiling    (z,x)
+            hit(1, +self.hh, 2, 0, (13.4, 5.2)),    # floor
+            hit(2, self.zf, 0, 1, (4.8, 8.6)),      # back wall  (x,y)
+        ]
+        ts = np.stack([s[0] for s in surfaces])      # [5,P]
+        uu = np.stack([s[1] for s in surfaces])
+        vv = np.stack([s[2] for s in surfaces])
+        pick = ts.argmin(0)
+        ar = np.arange(ts.shape[1])
+        tx = uu[pick, ar] * self.ppu + self.tex.shape[1] / 2
+        ty = vv[pick, ar] * self.ppu + self.tex.shape[0] / 2
+        img = map_coordinates(self.tex, [ty, tx], order=1, mode="wrap")
+        return img.reshape(height, width).astype(np.float32)
+
+
 def make_stereo_sequence(
     n_frames: int = 30,
     width: int = 320,
@@ -92,26 +151,30 @@ def make_stereo_sequence(
     seed: int = 0,
     motion: str = "lateral",
     texture: str = "blobs",
+    scene: str = "planes",
+    speed: float = 1.0,
 ):
     """Returns (K, bf, list[(imgL, imgR)], gt_Twc [F,4,4])."""
     K = np.array([[fx, 0, width / 2], [0, fx, height / 2], [0, 0, 1]], np.float32)
     tex = make_grid_texture(seed=seed) if texture == "grid" else make_texture(seed=seed)
-    scene = PlaneScene(tex)
+    scene_obj = (CorridorScene(tex) if scene == "corridor"
+                 else PlaneScene(tex))
+    scene = scene_obj
     poses = []
     frames = []
     for i in range(n_frames):
         Twc = np.eye(4)
         if motion == "lateral":
-            Twc[0, 3] = 0.04 * i
+            Twc[0, 3] = 0.04 * speed * i
             Twc[1, 3] = 0.01 * np.sin(i * 0.3)
         elif motion == "forward":
-            Twc[2, 3] = 0.03 * i
-            Twc[0, 3] = 0.01 * i
+            Twc[2, 3] = 0.03 * speed * i
+            Twc[0, 3] = 0.01 * speed * i
         else:  # arc
             th = 0.01 * i
             c, s = np.cos(th), np.sin(th)
             Twc[:3, :3] = np.array([[c, 0, s], [0, 1, 0], [-s, 0, c]])
-            Twc[0, 3] = 0.05 * i
+            Twc[0, 3] = 0.05 * speed * i
         poses.append(Twc.copy())
         imgL = scene.render(K, Twc, height, width)
         Twc_r = Twc.copy()

@@ -418,6 +418,9 @@ def track_mono_impl(system, image: jax.Array, ts: float) -> np.ndarray:
         if not bool(res.ok):
             s.frame_id += 1
             return s.last_Tcw_np.copy()
+        # Which two-view model won the RH score (reference :218-224) —
+        # exposed for diagnostics/tests (H for planar, F for general).
+        s.init_used_h = bool(res.used_h)
 
         N = ref.frame.feat.capacity
         s.map, s.step, out = create_initial_map(

@@ -243,6 +243,7 @@ class System:
         self.kf_pose_host: dict[int, np.ndarray] = {}
         self.trajectory: list[_TrajEntry] = []
         self.mono_state = None  # used by the monocular path
+        self.init_used_h = None  # which two-view model won mono init
         self._pending: deque = deque()       # (stats_dev, ts, step_state)
         self._pending_kf_out = None          # async keyframe-creation output
         self._th_depth_dev = jnp.float32(self.th_depth_m)

@@ -170,3 +170,29 @@ class TestStereoVO:
         assert sysm.state == TrackingState.OK
         err = ate_rmse(sysm.poses(), gt)
         assert err < 0.08, err
+
+
+class TestStereoCorridor:
+    def test_corridor_tracks_with_mapping(self):
+        """Stereo on the non-planar corridor: continuous depth range
+        (0.5..24 units) through stereo match, triangulation, and local
+        BA — the geometry class the fronto-parallel plane scenes miss."""
+        K, bf, frames, gt = make_stereo_sequence(
+            n_frames=30, motion="forward", width=320, height=240,
+            scene="corridor", seed=5,
+        )
+        st = Settings(
+            fx=float(K[0, 0]), fy=float(K[1, 1]), cx=float(K[0, 2]),
+            cy=float(K[1, 2]), bf=float(bf), width=320, height=240,
+            n_features=600, n_levels=4, th_depth=40.0, fps=10,
+            max_points=8192, max_keyframes=64, local_window=1024,
+            enable_local_mapping=True,
+        )
+        sysm = System(st, Sensor.STEREO)
+        for i, (l, r) in enumerate(frames):
+            sysm.track_stereo(l, r, i * 0.1)
+        sysm.drain()
+        assert sysm.get_tracking_state() == TrackingState.OK
+        assert sysm.n_kfs >= 2
+        err = ate_rmse(sysm.poses(), gt)
+        assert err < 0.05, err
