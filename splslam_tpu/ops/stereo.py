@@ -114,34 +114,61 @@ def stereo_match(
     N = cL.shape[0]
     n_row = 2 * _W + 1
 
-    # Row-gather + one-hot column matmuls instead of elementwise
-    # gathers (TPU general gathers serialized this stage to ~3 ms; row
-    # gathers are plain DMAs and column picks ride the MXU in bf16 —
-    # exact for one-hot selection of 8-bit pixel values).
+    # Tiled row-gather + narrow one-hot column matmuls instead of
+    # elementwise gathers (TPU general gathers serialized this stage to
+    # ~3 ms; row gathers are plain DMAs and column picks ride the MXU in
+    # bf16 — exact for one-hot selection of 8-bit pixel values). Every
+    # sample column lies within +-36 px of its keypoint (offsets reach
+    # (R+W)*max_scale = 10*3.58), so instead of one-hotting over the
+    # full image width we gather a 128-wide tile from a 32-stride tile
+    # pyramid: the one-hot contraction shrinks from W (1241 on KITTI)
+    # to 128 lanes — ~10x less pick work.
+    TILE, STRIDE = 128, 32
+    nt = -(-W // STRIDE)
+    pad_w = STRIDE * nt + (TILE - STRIDE) - W
     ry = jnp.clip(
         jnp.round(cL[:, 1:2] + s[:, None] * dy[None, :]).astype(jnp.int32),
         0, H - 1,
     )                                                    # [N,11]
-    rows_l = imgL[ry.reshape(-1)].reshape(N, n_row, W).astype(jnp.bfloat16)
-    rows_r = imgR[ry.reshape(-1)].reshape(N, n_row, W).astype(jnp.bfloat16)
 
-    cols_w = jnp.arange(W, dtype=jnp.int32)
+    def tiles_of(img):
+        p = jnp.pad(img.astype(jnp.bfloat16), ((0, 0), (0, pad_w)))
+        parts = [
+            p[:, o * STRIDE:o * STRIDE + STRIDE * nt].reshape(H, nt, STRIDE)
+            for o in range(TILE // STRIDE)
+        ]
+        return jnp.concatenate(parts, axis=2)            # [H, nt, TILE]
 
-    def col_pick(rows, centers, offs):
+    def tile_rows(img, centers):
+        tj = jnp.clip(((jnp.round(centers).astype(jnp.int32) - 36)
+                       // STRIDE), 0, nt - 1)            # [N]
+        t0 = tj * STRIDE
+        T = tiles_of(img).reshape(H * nt, TILE)
+        flat = ry * nt + tj[:, None]                     # [N,11]
+        rows = jnp.take(T, flat.reshape(-1), axis=0)
+        return rows.reshape(N, n_row, TILE), t0
+
+    rows_l, t0_l = tile_rows(imgL, cL[:, 0])
+    rows_r, t0_r = tile_rows(imgR, uR0)
+
+    cols_w = jnp.arange(TILE, dtype=jnp.int32)
+
+    def col_pick(rows, centers, offs, t0):
         idx = jnp.clip(
             jnp.round(centers[:, None] + s[:, None] * offs[None, :]),
             0, W - 1,
-        ).astype(jnp.int32)                              # [N,C]
+        ).astype(jnp.int32) - t0[:, None]                # [N,C] local
+        idx = jnp.clip(idx, 0, TILE - 1)
         onehot = (cols_w[None, None, :] == idx[:, :, None]).astype(
             jnp.bfloat16
-        )                                                # [N,C,W]
+        )                                                # [N,C,TILE]
         return jnp.einsum(
             "nrw,ncw->nrc", rows, onehot,
             preferred_element_type=jnp.float32,
         )
 
-    patchL = col_pick(rows_l, cL[:, 0], dxw)             # [N,11,11]
-    strip = col_pick(rows_r, uR0, dxs)                   # [N,11,21]
+    patchL = col_pick(rows_l, cL[:, 0], dxw, t0_l)       # [N,11,11]
+    strip = col_pick(rows_r, uR0, dxs, t0_r)             # [N,11,21]
 
     # IC normalization: subtract the window center value (reference :989).
     patchL = patchL - patchL[:, _W, _W][:, None, None]

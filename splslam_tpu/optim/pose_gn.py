@@ -93,24 +93,21 @@ def _point_terms(Tcw, cam: Camera, pts: PointObs):
     u = cam.fx * x * iz + cam.cx
     v = cam.fy * y * iz + cam.cy
     r = jnp.stack([u - pts.uv[:, 0], v - pts.uv[:, 1]], axis=-1)
-    # d(uv)/d(pc)  [N,2,3]
+    # Closed-form J = [d(uv)/d(pc) | -d(uv)/d(pc) hat(pc)] (the g2o
+    # EdgeSE3ProjectXYZOnlyPose Jacobian, written out so XLA sees pure
+    # elementwise [N] arithmetic — a batched [N](2,3)x(3,6) einsum
+    # lowers to N tiny MXU matmuls and is latency-bound).
     zeros = jnp.zeros_like(x)
-    duv_dpc = jnp.stack(
-        [
-            jnp.stack([cam.fx * iz, zeros, -cam.fx * x * iz2], axis=-1),
-            jnp.stack([zeros, cam.fy * iz, -cam.fy * y * iz2], axis=-1),
-        ],
-        axis=1,
-    )
-    # d(pc)/d(xi) for xi=[rho,phi], left-mult update: [I | -hat(pc)]  [N,3,6]
-    dpc_dxi = jnp.concatenate(
-        [
-            jnp.broadcast_to(jnp.eye(3), (pc.shape[0], 3, 3)),
-            -se3.hat(pc),
-        ],
-        axis=-1,
-    )
-    J = jnp.einsum("nij,njk->nik", duv_dpc, dpc_dxi, precision=_HI)
+    xiz, yiz = x * iz, y * iz
+    Ju = jnp.stack(
+        [cam.fx * iz, zeros, -cam.fx * xiz * iz,
+         -cam.fx * xiz * yiz, cam.fx * (1.0 + xiz * xiz),
+         -cam.fx * yiz], axis=-1)
+    Jv = jnp.stack(
+        [zeros, cam.fy * iz, -cam.fy * yiz * iz,
+         -cam.fy * (1.0 + yiz * yiz), cam.fy * xiz * yiz,
+         cam.fy * xiz], axis=-1)
+    J = jnp.stack([Ju, Jv], axis=1)    # [N,2,6]
     return r, J, z_ok
 
 
@@ -138,16 +135,49 @@ def _line_terms(Tcw, cam: Camera, lines: LineObs):
         ],
         axis=-1,
     )
-    dpc_dxi = jnp.concatenate(
-        [
-            jnp.broadcast_to(jnp.eye(3), (pc.shape[0], 3, 3)),
-            -se3.hat(pc),
-        ],
-        axis=-1,
-    )
-    J = jnp.einsum("ni,nik->nk", dr_dpc, dpc_dxi, precision=_HI)
+    # Closed-form J = [g | -g hat(pc)] with g = dr/d(pc) (see
+    # _point_terms for why the batched einsum form is avoided).
+    g0, g1, g2 = dr_dpc[:, 0], dr_dpc[:, 1], dr_dpc[:, 2]
+    J = jnp.stack(
+        [g0, g1, g2,
+         g2 * y - g1 * z, g0 * z - g2 * x, g1 * x - g0 * y], axis=-1)
     del zeros
     return r, J, z_ok
+
+
+def solve6(H: jax.Array, b: jax.Array) -> jax.Array:
+    """Unrolled 6x6 Cholesky solve. `jnp.linalg.solve` lowers a 6x6 LU
+    with pivoting to a serialized scalar loop on TPU (~10s of us per
+    call); the damped GN normal matrix is SPD, so straight-line LL^T
+    (~80 scalar flops, no control flow) is exact and pipeline-friendly
+    inside the sequential GN iteration chain."""
+    n = 6
+    L = [[None] * n for _ in range(n)]
+    for j in range(n):
+        d = H[j, j]
+        for k in range(j):
+            d = d - L[j][k] * L[j][k]
+        Ljj = jnp.sqrt(jnp.maximum(d, 1e-20))
+        L[j][j] = Ljj
+        inv = 1.0 / Ljj
+        for i in range(j + 1, n):
+            s = H[i, j]
+            for k in range(j):
+                s = s - L[i][k] * L[j][k]
+            L[i][j] = s * inv
+    y = [None] * n
+    for i in range(n):
+        s = b[i]
+        for k in range(i):
+            s = s - L[i][k] * y[k]
+        y[i] = s / L[i][i]
+    x = [None] * n
+    for i in reversed(range(n)):
+        s = y[i]
+        for k in range(i + 1, n):
+            s = s - L[k][i] * x[k]
+        x[i] = s / L[i][i]
+    return jnp.stack(x)
 
 
 def _huber_weight(chi2: jax.Array, delta2: float) -> jax.Array:
@@ -221,7 +251,7 @@ def pose_optimize(
             H = H + jnp.einsum("nk,n,nl->kl", J_ln, w_ln, J_ln, precision=_HI)
             b = b + jnp.einsum("nk,n,n->k", J_ln, w_ln, r_ln, precision=_HI)
             H = H + damping * jnp.eye(6) * (1.0 + jnp.trace(H) / 6.0)
-            dx = -jnp.linalg.solve(H, b)
+            dx = -solve6(H, b)
             # Guard against NaN/huge steps when everything is masked out.
             ok = jnp.all(jnp.isfinite(dx)) & (jnp.sum(w_pt) + jnp.sum(w_ln) > 0)
             dx = jnp.where(ok, dx, 0.0)
