@@ -34,12 +34,18 @@ def main() -> None:
     from splslam_tpu.io.synthetic import make_stereo_sequence
     from splslam_tpu.slam.system import Sensor, Settings, System
 
-    n_frames = 96
-    warmup = 17
-    K, bf, frames, gt = make_stereo_sequence(
-        n_frames=n_frames, width=KITTI_W, height=KITTI_H,
+    n_frames = 384
+    warmup = 65
+    # Render a 96-frame forward leg and shuttle it palindromically to
+    # n_frames: full per-frame motion everywhere, but the camera stays
+    # inside the synthetic scene for arbitrarily long runs (a one-way
+    # 384-frame leg drives out of the textured region and goes LOST).
+    K, bf, leg, gt = make_stereo_sequence(
+        n_frames=96, width=KITTI_W, height=KITTI_H,
         fx=718.0, baseline=0.54, motion="forward", seed=3,
     )
+    cycle = leg + leg[-2:0:-1]
+    frames = [cycle[i % len(cycle)] for i in range(n_frames)]
     st = Settings(
         fx=float(K[0, 0]), fy=float(K[1, 1]), cx=float(K[0, 2]),
         cy=float(K[1, 2]), bf=float(bf), width=KITTI_W, height=KITTI_H,
@@ -47,11 +53,12 @@ def main() -> None:
         max_points=65536, max_keyframes=256, local_window=2048,
         enable_local_mapping=False,
         # Keyframe insertion is a separate row in the reference's
-        # timing tables (13.4 ms/KF on KITTI, BASELINE.md); a 32-frame
+        # timing tables (13.4 ms/KF on KITTI, BASELINE.md); a 64-frame
         # minimum gap (a hard gate in _need_new_keyframe) keeps its
         # dispatch out of most timed batches so the median is a
-        # tracking-only number, as the reference reports it.
-        min_kf_gap=32,
+        # tracking-only number, as the reference reports it (KF insertion
+        # is its own row in bench_mapping.py).
+        min_kf_gap=64,
     )
     sysm = System(st, Sensor.STEREO)
 
@@ -66,7 +73,7 @@ def main() -> None:
     # tunnel-attached, so an in-loop upload would time the network, not
     # the chip. Real deployments feed the chip over PCIe at >10 GB/s
     # where a 0.9 MB stereo pair is ~0.1 ms.
-    B = 16
+    B = 32
     chunks = [frames[i:i + B] for i in range(0, len(frames), B)]
     tss = [[(i * B + j) * 0.1 for j in range(len(c))]
            for i, c in enumerate(chunks)]

@@ -39,9 +39,15 @@ def fast_score_map(image: jax.Array, threshold: float) -> jax.Array:
     center-m). Non-corners get 0. A 3px border is zeroed.
     """
     H, W = image.shape
-    ring = jnp.stack([_shifted(image, dy, dx) for (dy, dx) in _CIRCLE])  # [16,H,W]
-    d_bright = ring - image[None]   # >t means ring pixel brighter by t
-    d_dark = image[None] - ring     # >t means ring pixel darker by t
+    # bf16 ring arithmetic: FAST margins are differences of 8-bit pixel
+    # values (<= 255, exact in bf16's 8-bit mantissa up to 256); halves
+    # the HBM traffic of the 16-image ring stack.
+    img16 = image.astype(jnp.bfloat16)
+    ring = jnp.stack(
+        [_shifted(img16, dy, dx) for (dy, dx) in _CIRCLE]
+    )                               # [16,H,W]
+    d_bright = ring - img16[None]   # >t means ring pixel brighter by t
+    d_dark = img16[None] - ring     # >t means ring pixel darker by t
 
     def arc_min(d):
         # m[a] = min(d[a], d[a+1], ..., d[a+8]) circularly, via log-step rolls.
@@ -51,7 +57,9 @@ def fast_score_map(image: jax.Array, threshold: float) -> jax.Array:
         m8 = jnp.minimum(m4, jnp.roll(m, -6, axis=0))        # runs of 9
         return jnp.max(m8, axis=0)
 
-    score = jnp.maximum(arc_min(d_bright), arc_min(d_dark))
+    score = jnp.maximum(arc_min(d_bright), arc_min(d_dark)).astype(
+        jnp.float32
+    )
     score = jnp.where(score > threshold, score, 0.0)
     # Zero the ring border.
     ys = jnp.arange(H)[:, None]

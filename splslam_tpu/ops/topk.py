@@ -33,7 +33,22 @@ def grid_topk(
     cells = padded.reshape(ncy, cell, ncx, cell).transpose(0, 2, 1, 3)
     cells = cells.reshape(ncy * ncx, cell * cell)
 
-    vals, idx = jax.lax.top_k(cells, cell_k)  # [ncells, cell_k]
+    # Per-cell top-k via cell_k unrolled argmax+mask rounds: a [C,256]
+    # sort per cell (lax.top_k) costs ~10 passes over the buffer where
+    # cell_k max-reduces cost 2 each, and NMS has already zeroed all but
+    # a few entries per cell.
+    work = cells
+    vs, ids = [], []
+    for _ in range(cell_k):
+        i = jnp.argmax(work, axis=1)                    # [ncells]
+        v = jnp.take_along_axis(work, i[:, None], axis=1)[:, 0]
+        vs.append(v)
+        ids.append(i)
+        work = jnp.where(
+            jnp.arange(work.shape[1])[None, :] == i[:, None], -1.0, work
+        )
+    vals = jnp.stack(vs, axis=1)                        # [ncells, cell_k]
+    idx = jnp.stack(ids, axis=1)
     # Recover absolute pixel coordinates of each candidate.
     cy = jnp.arange(ncy * ncx) // ncx
     cx = jnp.arange(ncy * ncx) % ncx
