@@ -68,7 +68,7 @@ PROW = 128   # padded patch row stride: patches stay in the native
 
 
 def _start_block_dmas(i, ky_ref, kx_ref, img_ref, win_scratch, dma_sems,
-                      slot):
+                      slot, win_r):
     """Issue the KP_BLOCK window DMAs for grid step `i` into buffer
     `slot` of the double-buffered scratch."""
     for j in range(KP_BLOCK):
@@ -77,7 +77,7 @@ def _start_block_dmas(i, ky_ref, kx_ref, img_ref, win_scratch, dma_sems,
         x64 = (kx_ref[k] // ALIGN_C) * ALIGN_C
         pltpu.make_async_copy(
             img_ref.at[
-                pl.ds(pl.multiple_of(y8, 8), WIN_R),
+                pl.ds(pl.multiple_of(y8, 8), win_r),
                 pl.ds(pl.multiple_of(x64, ALIGN_C), WIN_C),
             ],
             win_scratch.at[slot, j],
@@ -85,10 +85,12 @@ def _start_block_dmas(i, ky_ref, kx_ref, img_ref, win_scratch, dma_sems,
         ).start()
 
 
-def _kernel(ky_ref, kx_ref, img_ref, out_ref, win_scratch, dma_sems):
+def _kernel(ky_ref, kx_ref, img_ref, out_ref, win_scratch, dma_sems,
+            *, n_rows):
     i = pl.program_id(0)
     n_steps = pl.num_programs(0)
     slot = jax.lax.rem(i, 2)
+    win_r = n_rows + 8
 
     # Double-buffered window DMAs: step 0 issues its own block, every
     # step prefetches the NEXT block into the other buffer while this
@@ -97,12 +99,12 @@ def _kernel(ky_ref, kx_ref, img_ref, out_ref, win_scratch, dma_sems):
     @pl.when(i == 0)
     def _():
         _start_block_dmas(i, ky_ref, kx_ref, img_ref, win_scratch,
-                          dma_sems, slot)
+                          dma_sems, slot, win_r)
 
     @pl.when(i + 1 < n_steps)
     def _():
         _start_block_dmas(i + 1, ky_ref, kx_ref, img_ref, win_scratch,
-                          dma_sems, jax.lax.rem(i + 1, 2))
+                          dma_sems, jax.lax.rem(i + 1, 2), win_r)
 
     for j in range(KP_BLOCK):
         k = i * KP_BLOCK + j
@@ -116,7 +118,7 @@ def _kernel(ky_ref, kx_ref, img_ref, out_ref, win_scratch, dma_sems):
         # semaphore (wait decrements by the descriptor's size).
         pltpu.make_async_copy(
             img_ref.at[
-                pl.ds(pl.multiple_of(y8, 8), WIN_R),
+                pl.ds(pl.multiple_of(y8, 8), win_r),
                 pl.ds(pl.multiple_of(x64, ALIGN_C), WIN_C),
             ],
             win_scratch.at[slot, j],
@@ -127,22 +129,24 @@ def _kernel(ky_ref, kx_ref, img_ref, out_ref, win_scratch, dma_sems):
         # pltpu.roll requires non-negative shifts (left-roll by r is a
         # right-roll by (size - r) mod size) and 32-bit lanes (rotate
         # in f32, store back bf16 — exact round-trip).
-        win = win_scratch[slot, j].astype(jnp.float32)  # [48,256]
+        win = win_scratch[slot, j].astype(jnp.float32)  # [win_r, 256]
         win = pltpu.roll(win, jax.lax.rem(WIN_C - rc, WIN_C), 1)
-        win = pltpu.roll(win, jax.lax.rem(WIN_R - r8, WIN_R), 0)
-        out_ref[j] = win[:PATCH, :PROW].astype(out_ref.dtype)
+        win = pltpu.roll(win, jax.lax.rem(win_r - r8, win_r), 0)
+        out_ref[j] = win[:n_rows, :PROW].astype(out_ref.dtype)
 
 
-@partial(jax.jit, static_argnames=("interpret",))
+@partial(jax.jit, static_argnames=("interpret", "n_rows"))
 def extract_patches(
     packed: jax.Array,    # [R, Wp] bf16 blurred packed pyramid
     corner_y: jax.Array,  # [N] i32 patch top-left rows (pre-clamped)
     corner_x: jax.Array,  # [N] i32 patch top-left cols
     interpret: bool = False,
+    n_rows: int = PATCH,
 ) -> jax.Array:
-    """Aligned patches [N, PATCH, PROW] bf16 (patch in cols < PATCH;
+    """Aligned patches [N, n_rows, PROW] bf16 (patch in cols < PATCH;
     cols >= PATCH are rotation debris masked out by the zero table
-    rows — keeping the native lane layout avoids a relayout)."""
+    rows — keeping the native lane layout avoids a relayout). `n_rows`
+    (multiple of 8) selects the window height."""
     n = corner_y.shape[0]
     n_pad = -(-n // KP_BLOCK) * KP_BLOCK
     if n_pad != n:
@@ -157,19 +161,19 @@ def extract_patches(
         grid=(n_pad // KP_BLOCK,),
         in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
         out_specs=[
-            pl.BlockSpec((KP_BLOCK, PATCH, 128),
+            pl.BlockSpec((KP_BLOCK, n_rows, 128),
                          lambda i, ky, kx: (i, 0, 0)),
         ],
         scratch_shapes=[
-            pltpu.VMEM((2, KP_BLOCK, WIN_R, WIN_C), packed.dtype),
+            pltpu.VMEM((2, KP_BLOCK, n_rows + 8, WIN_C), packed.dtype),
             pltpu.SemaphoreType.DMA((2, KP_BLOCK)),
         ],
     )
     (out,) = pl.pallas_call(
-        _kernel,
+        partial(_kernel, n_rows=n_rows),
         grid_spec=grid_spec,
         out_shape=[
-            jax.ShapeDtypeStruct((n_pad, PATCH, PROW), packed.dtype),
+            jax.ShapeDtypeStruct((n_pad, n_rows, PROW), packed.dtype),
         ],
         interpret=interpret,
     )(corner_y, corner_x, packed)
@@ -178,17 +182,18 @@ def extract_patches(
 
 def extract_patches_xla(
     packed: jax.Array, corner_y: jax.Array, corner_x: jax.Array,
+    n_rows: int = PATCH,
 ) -> jax.Array:
     """Gather fallback with identical outputs (CPU backends, tests)."""
     n = corner_y.shape[0]
     R, Wp = packed.shape
-    dy = jnp.arange(PATCH)
+    dy = jnp.arange(n_rows)
     dx = jnp.arange(PATCH)
-    rows = corner_y[:, None] + dy[None, :]            # [N,40]
+    rows = corner_y[:, None] + dy[None, :]            # [N,n_rows]
     cols = corner_x[:, None] + dx[None, :]            # [N,40]
     flat_idx = rows[:, :, None] * Wp + cols[:, None, :]
     p = jnp.take(packed.reshape(-1), flat_idx.reshape(-1)).reshape(
-        n, PATCH, PATCH
+        n, n_rows, PATCH
     )
     return jnp.pad(p, ((0, 0), (0, 0), (0, PROW - PATCH)))
 
