@@ -52,6 +52,7 @@ def main() -> None:
         n_features=2000, n_levels=8, th_depth=35.0, fps=10.0,
         max_points=65536, max_keyframes=256, local_window=2048,
         enable_local_mapping=False,
+        batch_defer_stats=True,
         # Keyframe insertion is a separate row in the reference's
         # timing tables (13.4 ms/KF on KITTI, BASELINE.md); a 64-frame
         # minimum gap (a hard gate in _need_new_keyframe) keeps its

@@ -136,6 +136,11 @@ class Settings:
     # pipelining: frames in flight before the host consumes their stats
     # (each blocking device->host sync costs ~50 ms over the TPU tunnel)
     async_depth: int = 1
+    # batch mode: defer each batch's stats fetch until after the NEXT
+    # batch dispatches, hiding the D2H sync under device compute (KF /
+    # reloc decisions then lag one extra batch; they already act on the
+    # retained batch-final frame, so semantics are the same, delayed)
+    batch_defer_stats: bool = False
 
     def camera(self) -> Camera:
         return Camera.create(
@@ -245,6 +250,7 @@ class System:
         self.mono_state = None  # used by the monocular path
         self.init_used_h = None  # which two-view model won mono init
         self._pending: deque = deque()       # (stats_dev, ts, step_state)
+        self._pending_batch = None           # deferred batch stats
         self._pending_kf_out = None          # async keyframe-creation output
         self._th_depth_dev = jnp.float32(self.th_depth_m)
         self.timers = StageTimer()
@@ -359,7 +365,30 @@ class System:
         )
         self.step = new_step
         self.frame_id += B
+        if self.settings.batch_defer_stats:
+            try:
+                stats_dev.copy_to_host_async()
+            except AttributeError:
+                pass
+            prev = self._pending_batch
+            self._pending_batch = (stats_dev, list(timestamps), new_step)
+            if prev is not None:
+                self._consume_batch_stats(*prev)
+        else:
+            self._consume_batch_stats(stats_dev, timestamps, new_step)
+        self.timers.add(
+            "Tracking total / frame",
+            (time.perf_counter() - t0) * 1e3 / max(B, 1),
+        )
+        return self.last_Tcw_np.copy()
+
+    def _consume_batch_stats(self, stats_dev, timestamps, step_snap):
+        """Host-side bookkeeping for one tracked batch: per-frame logs,
+        LOST handling, and the batch-final keyframe/reloc decisions
+        (which act on `step_snap`, the StepState holding that batch's
+        final FrameData)."""
         stats = np.asarray(stats_dev)   # one fetch per batch
+        B = stats.shape[0]
         self._resolve_kf_out()
         for b in range(B):
             row = stats[b]
@@ -386,7 +415,7 @@ class System:
             # batch's final frame (its FrameData is the one retained on
             # device), as the sequential path does per frame.
             self.trajectory.pop()
-            if self._try_relocalize(self.step, timestamps[-1]):
+            if self._try_relocalize(step_snap, timestamps[-1]):
                 self._frames_lost = 0
             else:
                 self._log_frame(timestamps[-1], self.last_Tcw_np, lost=True)
@@ -398,14 +427,10 @@ class System:
             # remove the tail log entry; _create_keyframe path re-logs
             self.trajectory.pop()
             self.frames_since_kf -= 1
-            self._create_keyframe(self.step, self.last_Tcw_np, timestamps[-1])
+            self._create_keyframe(step_snap, self.last_Tcw_np,
+                                  timestamps[-1])
             self._log_frame(timestamps[-1], self.last_Tcw_np, lost=False)
             self.frames_since_kf = 0
-        self.timers.add(
-            "Tracking total / frame",
-            (time.perf_counter() - t0) * 1e3 / max(B, 1),
-        )
-        return self.last_Tcw_np.copy()
 
     def track_rgbd(self, img, depth, timestamp: float) -> np.ndarray:
         t0 = time.perf_counter()
@@ -473,6 +498,7 @@ class System:
         from splslam_tpu.slam.loop_closing import LoopCloser
 
         self._pending = deque()
+        self._pending_batch = None
         self._reset_runtime()
         self.mapper = LocalMapper(self)
         self.loop_closer = LoopCloser(self)
@@ -501,6 +527,9 @@ class System:
     def drain(self):
         """Consume all in-flight frame stats (called before any state or
         trajectory query)."""
+        if self._pending_batch is not None:
+            pb, self._pending_batch = self._pending_batch, None
+            self._consume_batch_stats(*pb)
         while self._pending:
             self._process_one()
 
@@ -602,7 +631,7 @@ class System:
             )
             if int(n_in) >= self.settings.reloc_min_inliers:
                 Tcw_np = np.asarray(Tcw, dtype=np.float32)
-                self.step = step_state._replace(
+                corrected = step_state._replace(
                     lm_gid=lm_gid,
                     lm_xyz=self.map.pts.xyz[jnp.clip(lm_gid, 0)],
                     Tcw=Tcw,
@@ -611,6 +640,11 @@ class System:
                     ll_mid=self.map.lns.xyz[jnp.clip(ll_gid, 0), 1],
                     ll_len=self.map.lns.avg_len2d[jnp.clip(ll_gid, 0)],
                 )
+                # Don't rewind the live tracker if newer frames were
+                # already dispatched from a later step (deferred batch
+                # stats); the reloc pose still flows into the log.
+                if step_state is self.step:
+                    self.step = corrected
                 self.state = TrackingState.OK
                 self._frames_lost = 0
                 self.ref_kf = c
