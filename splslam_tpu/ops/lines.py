@@ -215,19 +215,41 @@ def _detect_level(
     image: jax.Array,
     cell: int,
     min_length: float,
+    backend: str = "grow",
 ):
     """One detection octave: seeds -> growth -> refinement. Returns
     (a [C,2], b [C,2], length [C], ok [C], cmax [C]) in THIS level's
-    pixel coordinates."""
+    pixel coordinates.
+
+    `backend` selects the seeding front-end, mirroring the reference's
+    dual LSD/FLD constructors (include/Lineextractor.h:48-57,
+    busingLSD): "grow" seeds from raw per-cell gradient maxima (the
+    LSD-analog level-line path); "fld" seeds from a Canny-style
+    non-maximum-suppressed edge map (FLD runs on cv::Canny edges,
+    src/Lineextractor.cc:69-118) — thinner, better-localized seeds that
+    favor step edges over texture."""
     H, W = image.shape
     gx, gy = sobel_gradients(image)
     mag = jnp.sqrt(gx * gx + gy * gy)
     mag_th = jnp.maximum(jnp.max(mag) * MAG_FRAC, 1e-3)
 
+    seed_map = mag
+    if backend == "fld":
+        # Canny-lite: suppress pixels that are not local maxima along
+        # their gradient direction (bilinear taps at +-(cos,sin)).
+        inv = 1.0 / jnp.maximum(mag, 1e-6)
+        ux, uy = gx * inv, gy * inv
+        ys_g, xs_g = jnp.meshgrid(jnp.arange(H, dtype=jnp.float32),
+                                  jnp.arange(W, dtype=jnp.float32),
+                                  indexing="ij")
+        m1 = _bilinear(mag, xs_g + ux, ys_g + uy)
+        m2 = _bilinear(mag, xs_g - ux, ys_g - uy)
+        seed_map = jnp.where((mag >= m1) & (mag >= m2), mag, 0.0)
+
     # --- seeds: top-SEEDS_PER_CELL edge pixels per cell ---
     Hp = -(-H // cell) * cell
     Wp = -(-W // cell) * cell
-    pm = jnp.pad(mag, ((0, Hp - H), (0, Wp - W)))
+    pm = jnp.pad(seed_map, ((0, Hp - H), (0, Wp - W)))
     ncy, ncx = Hp // cell, Wp // cell
     cells = pm.reshape(ncy, cell, ncx, cell).transpose(0, 2, 1, 3).reshape(
         ncy * ncx, cell * cell
@@ -285,13 +307,14 @@ def _detect_level(
 
 
 @partial(jax.jit, static_argnames=("capacity", "cell", "min_length",
-                                   "n_octaves"))
+                                   "n_octaves", "backend"))
 def extract_lines(
     image: jax.Array,
     capacity: int = 128,
     cell: int = 24,
     min_length: float = 24.0,
     n_octaves: int = 2,
+    backend: str = "grow",
 ) -> LineFeatures:
     """Detect up to `capacity` line segments in a grayscale (H,W) image.
 
@@ -313,7 +336,7 @@ def extract_lines(
             lv_img = resize_bilinear(lv_img, (int(round(H / s)),
                                               int(round(W / s))))
         a, b, ln, ok, cm = _detect_level(
-            lv_img, cell, max(min_length / s, 12.0)
+            lv_img, cell, max(min_length / s, 12.0), backend=backend
         )
         cand_a.append(a * s)
         cand_b.append(b * s)

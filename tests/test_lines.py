@@ -125,3 +125,13 @@ def test_lbd_descriptor_matches_across_shift():
             good += 1
     assert tot >= 3
     assert good / tot >= 0.7, (good, tot)
+
+
+def test_fld_backend_recall_and_thin_seeding():
+    """The FLD-style backend (Canny-NMS edge seeding, reference
+    include/Lineextractor.h:54-57 busingLSD=false) must recover the
+    same sharp synthetic segments as the grow backend."""
+    segs = [(40, 40, 280, 60), (60, 200, 240, 120), (160, 20, 170, 220)]
+    img = _render_segments(segs)
+    feat = extract_lines(jnp.asarray(img), capacity=64, backend="fld")
+    assert _recall(segs, feat) >= 2 / 3
