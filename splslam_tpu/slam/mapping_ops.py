@@ -126,6 +126,8 @@ class _TriOut(NamedTuple):
     xyz: jax.Array      # [N,3] triangulated world points (left-feature rows)
     ok: jax.Array       # [N] bool
     nb_col: jax.Array   # [N] matched neighbor feature index
+    quality: jax.Array  # [N] ranking score for the MAX_TRI cap (parallax:
+    #                     better-conditioned triangulations win the slots)
 
 
 def _triangulate_pair(
@@ -230,7 +232,8 @@ def _triangulate_pair(
     scale_ok = (ratio_d < ratio_o * 1.5) & (ratio_d > ratio_o / 1.5)
 
     ok = matched & z_ok & par_ok & rep_ok & scale_ok
-    return _TriOut(xyz=Xw, ok=ok, nb_col=jnp.where(ok, mt, -1))
+    return _TriOut(xyz=Xw, ok=ok, nb_col=jnp.where(ok, mt, -1),
+                   quality=jnp.where(ok, 1.0 - cosp, -1.0))
 
 
 def _alloc_points(
@@ -242,11 +245,14 @@ def _alloc_points(
     scale_factor, n_levels = scales_sf_nl
     kfs = st.kfs
     create = tri.ok
-    # cap
-    order_key = jnp.where(create, jnp.arange(create.shape[0], dtype=jnp.int32), 1 << 30)
-    rank = jnp.zeros_like(order_key).at[jnp.argsort(order_key)].set(
-        jnp.arange(create.shape[0], dtype=jnp.int32)
-    )
+    # Cap at max_new, keeping the BEST-conditioned candidates (largest
+    # parallax) rather than the first by feature index — the reference
+    # keeps every passing candidate (LocalMapping.cc:727); under a fixed
+    # budget, quality ranking is the faithful degradation.
+    order_key = jnp.where(create, -tri.quality, jnp.float32(1e30))
+    rank = jnp.zeros(create.shape[0], jnp.int32).at[
+        jnp.argsort(order_key)
+    ].set(jnp.arange(create.shape[0], dtype=jnp.int32))
     create = create & (rank < max_new)
     slot_off = jnp.cumsum(create.astype(jnp.int32)) - 1
     slots = st.n_pts + slot_off
