@@ -132,15 +132,34 @@ def _covis_matrix(st: mapmod.MapState) -> jax.Array:
     ).astype(jnp.int32)
 
 
+def _covis_matrix_lines(st: mapmod.MapState) -> jax.Array:
+    """[K,K] shared MAP-LINE counts (the line covisibility graph the
+    reference maintains alongside the point one for its second spanning
+    tree, include/KeyFrame.h:300-301 mpParentLines/mspChildrensLines)."""
+    K, L = st.kfs.ll_idx.shape
+    P = st.lns.xyz.shape[0]
+    ll = st.kfs.ll_idx
+    ok = (ll >= 0) & st.kfs.lvalid & st.kfs.valid[:, None] \
+        & st.lns.valid[jnp.clip(ll, 0)]
+    Mb = jnp.zeros((K, P + 1), jnp.bfloat16).at[
+        jnp.arange(K)[:, None], jnp.where(ok, ll, P)
+    ].set(1.0, mode="drop")[:, :P]
+    return jnp.dot(
+        Mb, Mb.T, preferred_element_type=jnp.float32
+    ).astype(jnp.int32)
+
+
 def _build_pose_graph_edges(st: mapmod.MapState, n_kfs: int,
                             loop_i: int, loop_j: int, S_loop,
                             past_loops: list[tuple[int, int]] | None = None,
                             covis_min: int = 100):
     """The ESSENTIAL GRAPH (reference Optimizer::OptimizeEssentialGraph,
-    src/Optimizer.cc:1019-1189): spanning tree (here the sequential
-    keyframe chain — its backbone), high-covisibility edges (weight >=
-    100, :1120-1143), PAST loop edges (:1096-1117), and the new loop
-    edge. Relative Sim3 measurements come from the current poses."""
+    src/Optimizer.cc:1019-1189): DUAL spanning trees (point-parent and
+    line-parent by max covisibility — the reference's mpParent /
+    mpParentLines pair, KeyFrame.cc:706, :1112), the sequential chain as
+    a connectivity backbone, high-covisibility edges (weight >= 100,
+    :1120-1143), PAST loop edges (:1096-1117), and the new loop edge.
+    Relative Sim3 measurements come from the current poses."""
     Tcw = np.asarray(st.kfs.Tcw[:n_kfs])
     inv = np.array([np.linalg.inv(T) for T in Tcw])
     ei, ej, ss, Rs, ts, w = [], [], [], [], [], []
@@ -153,14 +172,26 @@ def _build_pose_graph_edges(st: mapmod.MapState, n_kfs: int,
         ss.append(float(s_ij)); Rs.append(np.asarray(R_ij))
         ts.append(np.asarray(t_ij)); w.append(float(weight))
 
-    # spanning-tree backbone
+    # sequential chain: connectivity backbone
+    seen = set()
     for k in range(1, n_kfs):
         add(k, k - 1, 1.0)
-    # covisibility edges >= covis_min (dedup i>j, skip sequential pairs)
+        seen.add((k, k - 1))
+    # dual spanning trees: each keyframe's point-parent and line-parent
+    # are its most-covisible PRIOR keyframe in that modality (reference
+    # parent assignment, KeyFrame.cc:700-710 and the Lines variant)
     C = np.asarray(_covis_matrix(st))[:n_kfs, :n_kfs]
+    CL = np.asarray(_covis_matrix_lines(st))[:n_kfs, :n_kfs]
+    for Cm in (C, CL):
+        for i in range(1, n_kfs):
+            j = int(np.argmax(Cm[i, :i]))
+            if Cm[i, j] > 0 and (i, j) not in seen:
+                add(i, j, 1.0)
+                seen.add((i, j))
+    # covisibility edges >= covis_min (dedup i>j, skip edges present)
     for i in range(n_kfs):
         for j in range(i):
-            if j == i - 1:
+            if (i, j) in seen:
                 continue
             if C[i, j] >= covis_min:
                 add(i, j, 1.0)
