@@ -46,11 +46,22 @@ def main() -> None:
     st = Settings(
         fx=float(K[0, 0]), fy=float(K[1, 1]), cx=float(K[0, 2]),
         cy=float(K[1, 2]), bf=float(bf), width=KITTI_W, height=KITTI_H,
-        n_features=2000, n_levels=8, th_depth=35.0, fps=10.0,
+        # fps=4 makes the c1a condition (frames_since_kf >= fps) insert a
+        # keyframe every ~4 frames, so the measured map has a populated
+        # covisibility 1-ring (the real KITTI cadence) instead of the
+        # 1-2 keyframes that easy synthetic tracking would produce.
+        n_features=2000, n_levels=8, th_depth=35.0, fps=4.0,
         max_points=65536, max_keyframes=256, local_window=2048,
         enable_local_mapping=True, min_kf_gap=4,
     )
     sysm = System(st, Sensor.STEREO)
+    # Easy synthetic tracking keeps n_in ~= ref_matches, so the faithful
+    # NeedNewKeyFrame policy (correctly) inserts almost nothing; the
+    # benchmark needs a populated covisibility 1-ring, so force the
+    # KITTI keyframe cadence (~every 4 frames) for the build phase only.
+    sysm._need_new_keyframe = (
+        lambda stats, n_in: sysm.frames_since_kf >= 4 and sysm.n_kfs < 12
+    )
     for i, (l, r) in enumerate(frames):
         sysm.track_stereo(l, r, i * 0.1)
     sysm.drain()
@@ -114,10 +125,12 @@ def main() -> None:
     rows["KeyFrame culling"] = timeit(
         "KeyFrame culling", lambda: stage_kfcull(mst, kf))
 
-    # Mapping total: the production fused program.
+    # Mapping total: the production fused program. mapping_step DONATES
+    # its map argument, so each call needs a fresh device copy (a ~0.1 ms
+    # HBM copy, noise next to the ~100 ms program).
     def full():
         m2, stats = MO.mapping_step(
-            jax.tree.map(lambda x: x, mst), kf, cam, scales)
+            jax.tree.map(jnp.copy, mst), kf, cam, scales)
         return stats
     rows["Mapping total / keyframe"] = timeit(
         "Mapping total / keyframe", full, n=5)
@@ -126,7 +139,7 @@ def main() -> None:
 
     def kf_insert():
         m2, s2, out = P.add_keyframe_step(
-            jax.tree.map(lambda x: x, mst), sysm.step,
+            jax.tree.map(jnp.copy, mst), sysm.step,
             jnp.int32(999), jnp.float32(99.9),
             jnp.float32(35.0 * float(bf) / float(K[0, 0])), cam, sysm.spec,
         )

@@ -93,6 +93,71 @@ class BAResult(NamedTuple):
     total_chi2: jax.Array
 
 
+def _inv3(M: jax.Array) -> jax.Array:
+    """Closed-form batched 3x3 inverse (adjugate/det). `jnp.linalg.inv`
+    lowers batched small inverses to serialized LU loops on TPU; the
+    adjugate is ~40 fused elementwise ops over the batch."""
+    a = M[..., 0, 0]; b = M[..., 0, 1]; c = M[..., 0, 2]
+    d = M[..., 1, 0]; e = M[..., 1, 1]; f = M[..., 1, 2]
+    g = M[..., 2, 0]; h = M[..., 2, 1]; i = M[..., 2, 2]
+    A = e * i - f * h
+    B = c * h - b * i
+    Cc = b * f - c * e
+    D = f * g - d * i
+    E = a * i - c * g
+    F = c * d - a * f
+    G = d * h - e * g
+    H = b * g - a * h
+    I = a * e - b * d
+    det = a * A + b * D + c * G
+    inv_det = 1.0 / jnp.where(jnp.abs(det) > 1e-20, det, 1e-20)
+    adj = jnp.stack([
+        jnp.stack([A, B, Cc], axis=-1),
+        jnp.stack([D, E, F], axis=-1),
+        jnp.stack([G, H, I], axis=-1),
+    ], axis=-2)
+    return adj * inv_det[..., None, None]
+
+
+def solve_dense(A: jax.Array, b: jax.Array, n: int) -> jax.Array:
+    """Unrolled dense Cholesky solve for the damped SPD reduced camera
+    system (n = 6 * n_free, static). `jnp.linalg.solve`'s pivoted LU is
+    a serialized scalar loop on TPU; straight-line LL^T pipelines."""
+    L = [[None] * n for _ in range(n)]
+    for j in range(n):
+        d = A[j, j]
+        for k in range(j):
+            d = d - L[j][k] * L[j][k]
+        Ljj = jnp.sqrt(jnp.maximum(d, 1e-20))
+        L[j][j] = Ljj
+        inv = 1.0 / Ljj
+        for i_ in range(j + 1, n):
+            s = A[i_, j]
+            for k in range(j):
+                s = s - L[i_][k] * L[j][k]
+            L[i_][j] = s * inv
+    y = [None] * n
+    for i_ in range(n):
+        s = b[i_]
+        for k in range(i_):
+            s = s - L[i_][k] * y[k]
+        y[i_] = s / L[i_][i_]
+    x = [None] * n
+    for i_ in reversed(range(n)):
+        s = y[i_]
+        for k in range(i_ + 1, n):
+            s = s - L[k][i_] * x[k]
+        x[i_] = s / L[i_][i_]
+    return jnp.stack(x)
+
+
+def _bsum(a, b, axis):
+    """Broadcast-multiply-sum: a small contraction written as fused
+    elementwise VPU work instead of a batched tiny einsum (which lowers
+    to per-batch MXU matmuls, latency-bound at these shapes)."""
+    return jnp.sum(a * b, axis=axis)
+
+
 def _edge_terms(Tcw_all, xyz_all, cam: Camera, p: BAProblem):
     """Residuals r [E,3], J_c [E,3,6], J_p [E,3,3], chi2 [E], depth-ok [E].
 
@@ -101,7 +166,7 @@ def _edge_terms(Tcw_all, xyz_all, cam: Camera, p: BAProblem):
     X = xyz_all[p.e_lm]                # [E,3]
     R = Tcw[:, :3, :3]
     t = Tcw[:, :3, 3]
-    pc = jnp.einsum("eij,ej->ei", R, X, precision=_HI) + t
+    pc = _bsum(R, X[:, None, :], -1) + t
     x, y, z = pc[:, 0], pc[:, 1], pc[:, 2]
     z_ok = z > 1e-3
     zs = jnp.where(z_ok, z, 1.0)
@@ -145,12 +210,12 @@ def _edge_terms(Tcw_all, xyz_all, cam: Camera, p: BAProblem):
                       axis=1),
             duv_dpc,
         )
-    dpc_dxi = jnp.concatenate(
-        [jnp.broadcast_to(jnp.eye(3), pc.shape[:1] + (3, 3)), -se3.hat(pc)],
-        axis=-1,
-    )  # [E,3,6]
-    J_c = jnp.einsum("eij,ejk->eik", duv_dpc, dpc_dxi, precision=_HI)
-    J_p = jnp.einsum("eij,ejk->eik", duv_dpc, R, precision=_HI)  # dpc/dX = R
+    # J_c = [duv_dpc | -duv_dpc hat(pc)], J_p = duv_dpc @ R — written as
+    # broadcast-sums (see _bsum) rather than batched [3,3]x[3,6] einsums.
+    hatp = se3.hat(pc)                                    # [E,3,3]
+    J_rot = -_bsum(duv_dpc[:, :, :, None], hatp[:, None, :, :], 2)
+    J_c = jnp.concatenate([duv_dpc, J_rot], axis=-1)      # [E,3,6]
+    J_p = _bsum(duv_dpc[:, :, :, None], R[:, None, :, :], 2)  # [E,3,3]
     chi2 = jnp.sum(r * r, axis=-1) * p.e_inv_sigma2
     return r, J_c, J_p, chi2, z_ok
 
@@ -202,6 +267,19 @@ def ba_solve(
 
     chi2_gate, huber_d2, joint_chi2 = _gates(p)
 
+    # Segment permutations for the normal-equation accumulations —
+    # hoisted: edge->slot assignment is constant across GN iterations,
+    # so the three sorts run once per solve, not once per step.
+    free_edge = (p.e_cam < Cf) & p.cam_free[jnp.clip(p.e_cam, 0)]
+    ec = jnp.where(free_edge, p.e_cam, Cf)
+    perm_c = jnp.argsort(ec)
+    ec_sorted = ec[perm_c]
+    perm_l = jnp.argsort(p.e_lm)
+    lm_sorted = p.e_lm[perm_l]
+    cl = jnp.where(free_edge, ec * L + p.e_lm, Cf * L)
+    perm_cl = jnp.argsort(cl)
+    cl_sorted = cl[perm_cl]
+
     def robust_cost(Tcw_all, xyz_all, active):
         """Total Huber-robustified chi2 of the active edges."""
         _, _, _, chi2, z_ok = _edge_terms(Tcw_all, xyz_all, cam, p)
@@ -219,26 +297,44 @@ def ba_solve(
             * p.e_inv_sigma2
             * (active & z_ok).astype(jnp.float32)
         )
-        # Gradients (J^T W r)
-        g_c = jnp.einsum("eik,ei,e->ek", J_c, r, w, precision=_HI)  # [E,6]
-        g_p = jnp.einsum("eik,ei,e->ek", J_p, r, w, precision=_HI)  # [E,3]
-        # Block Hessians
-        Hcc_e = jnp.einsum("eik,eil,e->ekl", J_c, J_c, w, precision=_HI)
-        Hpp_e = jnp.einsum("eik,eil,e->ekl", J_p, J_p, w, precision=_HI)
-        Hcp_e = jnp.einsum("eik,eil,e->ekl", J_c, J_p, w, precision=_HI)  # [E,6,3]
+        # Gradients (J^T W r) and block Hessians as broadcast-sums over
+        # the 2-3-long residual axis (batched tiny einsums are MXU-
+        # latency-bound at these shapes).
+        rw = r * w[:, None]                                   # [E,3]
+        g_c = _bsum(J_c, rw[:, :, None], 1)                   # [E,6]
+        g_p = _bsum(J_p, rw[:, :, None], 1)                   # [E,3]
+        Jcw = J_c * w[:, None, None]
+        Hcc_e = _bsum(Jcw[:, :, :, None], J_c[:, :, None, :], 1)
+        Hpp_e = _bsum(J_p[:, :, :, None] * w[:, None, None, None],
+                      J_p[:, :, None, :], 1)
+        Hcp_e = _bsum(Jcw[:, :, :, None], J_p[:, :, None, :], 1)  # [E,6,3]
 
         # An edge feeds the camera system only if its camera slot is in the
         # leading free block AND not frozen (gauge anchors, e.g. keyframe 0 —
         # reference Optimizer.cc:2518 setFixed for mnId==0). Frozen cameras
-        # still constrain landmarks through Hpp/bp.
-        free_edge = (p.e_cam < Cf) & p.cam_free[jnp.clip(p.e_cam, 0)]
-        ec = jnp.where(free_edge, p.e_cam, Cf)  # overflow row dropped
-        Hcc = jnp.zeros((Cf, 6, 6)).at[ec].add(Hcc_e, mode="drop")
-        bc = jnp.zeros((Cf, 6)).at[ec].add(g_c, mode="drop")
-        Hpp = jnp.zeros((L, 3, 3)).at[p.e_lm].add(Hpp_e, mode="drop")
-        bp = jnp.zeros((L, 3)).at[p.e_lm].add(g_p, mode="drop")
+        # still constrain landmarks through Hpp/bp. All accumulations go
+        # through pre-sorted scatter-adds: the segment permutations are
+        # hoisted out of the GN iteration (edge->slot assignment never
+        # changes within a solve) and `indices_are_sorted` lets XLA emit
+        # a vectorized sorted-segment reduction instead of a serialized
+        # random scatter over the 32k-row edge table.
+        Hcb = jnp.concatenate(
+            [Hcc_e.reshape(-1, 36), g_c], axis=-1)        # [E,42]
+        acc_c = jnp.zeros((Cf + 1, 42)).at[ec_sorted].add(
+            Hcb[perm_c], indices_are_sorted=True, mode="drop")
+        Hcc = acc_c[:Cf, :36].reshape(Cf, 6, 6)
+        bc = acc_c[:Cf, 36:]
+        Hpb = jnp.concatenate(
+            [Hpp_e.reshape(-1, 9), g_p], axis=-1)         # [E,12]
+        acc_p = jnp.zeros((L, 12)).at[lm_sorted].add(
+            Hpb[perm_l], indices_are_sorted=True, mode="drop")
+        Hpp = acc_p[:, :9].reshape(L, 3, 3)
+        bp = acc_p[:, 9:]
         # Dense cross blocks W[c,l] (one obs per (c,l) pair).
-        W = jnp.zeros((Cf, L, 6, 3)).at[ec, p.e_lm].add(Hcp_e, mode="drop")
+        W = jnp.zeros((Cf * L + 1, 18)).at[cl_sorted].add(
+            Hcp_e.reshape(-1, 18)[perm_cl],
+            indices_are_sorted=True, mode="drop",
+        )[:Cf * L].reshape(Cf, L, 6, 3)
 
         lm_active = p.lm_ok & (jnp.diagonal(Hpp, axis1=1, axis2=2).sum(-1) > 0)
         # LM damping: multiplicative on the block diagonals (plus a floor
@@ -250,28 +346,30 @@ def ba_solve(
         Hpp_d = Hpp + lam * dHpp + 1e-6 * jnp.eye(3) + jnp.where(
             lm_active, 0.0, 1.0
         )[:, None, None] * jnp.eye(3)
-        iHpp = jnp.linalg.inv(Hpp_d)  # [L,3,3]
+        iHpp = _inv3(Hpp_d)  # [L,3,3] closed-form batched inverse
 
-        # Schur: S = Hcc - W iHpp W^T ; rhs = bc - W iHpp bp
-        WiH = jnp.einsum("clik,lkm->clim", W, iHpp, precision=_HI)  # [Cf,L,6,3]
+        # Schur: S = Hcc - W iHpp W^T ; rhs = bc - W iHpp bp.
+        # WiH by broadcast-sum; the (l,m)-contractions as ONE real GEMM
+        # over the flattened [Cf*6, L*3] layout (MXU-shaped, unlike the
+        # 4-index einsum which lowers to L tiny matmuls).
+        WiH = _bsum(W[:, :, :, :, None], iHpp[None, :, None, :, :], 3)
+        WiH2 = WiH.transpose(0, 2, 1, 3).reshape(Cf * 6, L * 3)
+        W2 = W.transpose(0, 2, 1, 3).reshape(Cf * 6, L * 3)
+        S = jnp.dot(WiH2, W2.T, precision=_HI)            # [Cf6, Cf6]
         S_full = jnp.zeros((Cf, 6, Cf, 6))
         S_full = S_full.at[jnp.arange(Cf), :, jnp.arange(Cf), :].add(Hcc)
-        S_full = S_full - jnp.einsum(
-            "clim,dljm->cidj", WiH, W, precision=_HI
-        )
-        rhs = bc - jnp.einsum("clim,lm->ci", WiH, bp, precision=_HI)
+        A = S_full.reshape(Cf * 6, Cf * 6) - S
+        rhs = bc.reshape(-1) - jnp.dot(WiH2, bp.reshape(-1), precision=_HI)
 
-        A = S_full.reshape(Cf * 6, Cf * 6)
         A = A + lam * jnp.diag(jnp.maximum(jnp.diag(A), 1.0))
-        dx_c = -jnp.linalg.solve(A, rhs.reshape(-1)).reshape(Cf, 6)
+        dx_c = -solve_dense(A, rhs, Cf * 6).reshape(Cf, 6)
         ok = jnp.all(jnp.isfinite(dx_c))
         dx_c = jnp.where(ok, dx_c, 0.0)
 
         # Back-substitute landmarks: Hpp dx_p = -bp - W^T dx_c
-        Wt_dxc = jnp.einsum("clik,ci->lk", W, dx_c, precision=_HI)
-        dx_p = jnp.einsum(
-            "lkm,lm->lk", iHpp, -(bp + Wt_dxc), precision=_HI
-        )
+        Wt_dxc = jnp.dot(W2.T, dx_c.reshape(-1),
+                         precision=_HI).reshape(L, 3)
+        dx_p = _bsum(iHpp, (-(bp + Wt_dxc))[:, None, :], -1)
         dx_p = jnp.where((lm_active & jnp.all(jnp.isfinite(dx_p), -1))[:, None],
                          dx_p, 0.0)
 
@@ -430,7 +528,7 @@ def ba_solve_pcg(
         Hpp_d = Hpp + damping * dHpp + 1e-6 * jnp.eye(3) + jnp.where(
             lm_active, 0.0, 1.0
         )[:, None, None] * jnp.eye(3)
-        iHpp = jnp.linalg.inv(Hpp_d)
+        iHpp = _inv3(Hpp_d)
 
         dHcc = jnp.eye(6)[None] * jnp.maximum(
             jnp.diagonal(Hcc, axis1=1, axis2=2), 1.0
