@@ -184,20 +184,27 @@ def _triangulate_pair(
     P1 = K @ T1[:3, :4]
     P2 = K @ T2[:3, :4]
 
-    def dlt(uv_a, uv_b):
-        A = jnp.stack(
-            [
-                uv_a[0] * P1[2] - P1[0],
-                uv_a[1] * P1[2] - P1[1],
-                uv_b[0] * P2[2] - P2[0],
-                uv_b[1] * P2[2] - P2[1],
-            ]
-        )
-        _, _, vt = jnp.linalg.svd(A)
-        X = vt[-1]
-        return X[:3] / jnp.where(jnp.abs(X[3]) < 1e-12, 1e-12, X[3])
+    # Inhomogeneous DLT: fix w=1 and least-squares the 4 equations for
+    # [X Y Z] via 3x3 normal equations (closed-form inverse). The
+    # homogeneous SVD variant handles points at infinity, but a vmapped
+    # [4,4] SVD is a serialized per-feature loop on TPU, and the depth /
+    # parallax gates below reject near-infinite points anyway.
+    from splslam_tpu.optim.ba import _inv3
 
-    Xw = jax.vmap(dlt)(xy1, uv2)  # [N,3]
+    A_rows = jnp.stack(
+        [
+            xy1[:, 0, None] * P1[2] - P1[0],
+            xy1[:, 1, None] * P1[2] - P1[1],
+            uv2[:, 0, None] * P2[2] - P2[0],
+            uv2[:, 1, None] * P2[2] - P2[1],
+        ],
+        axis=1,
+    )                                                 # [N,4,4]
+    Ah = A_rows[:, :, :3]                             # [N,4,3]
+    bh = -A_rows[:, :, 3]                             # [N,4]
+    AtA = jnp.sum(Ah[:, :, :, None] * Ah[:, :, None, :], axis=1)
+    Atb = jnp.sum(Ah * bh[:, :, None], axis=1)        # [N,3]
+    Xw = jnp.sum(_inv3(AtA) * Atb[:, None, :], axis=-1)  # [N,3]
 
     # --- checks (reference :613-727) ---
     pc1 = Xw @ T1[:3, :3].T + T1[:3, 3]
