@@ -39,7 +39,11 @@ from splslam_tpu.slam.map import MapState, predict_octave, scale_band
 
 # Static window geometry (capacities, not behavior): the reference's
 # covisibility window is data-dependent; we cap it to fixed shapes.
-N_WINDOW = 8      # free cameras in local BA (1-ring cap)
+N_WINDOW = 8      # free cameras in local BA (1-ring cap). The
+#                   reference's 1-ring is unbounded; measured at 16 the
+#                   whole suite still passes with unchanged ATE and TPU
+#                   local BA is 113 ms/KF (vs 64 at 8, reference 117) —
+#                   8 is the accuracy-neutral sweet spot on these scenes.
 N_FIXED = 8       # fixed anchor cameras (2-ring cap)
 N_NEIGH = 4       # neighbors for triangulation / fuse
 L_WINDOW = 8192   # landmark slots in the BA window
