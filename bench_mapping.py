@@ -125,26 +125,34 @@ def main() -> None:
     rows["KeyFrame culling"] = timeit(
         "KeyFrame culling", lambda: stage_kfcull(mst, kf))
 
-    # Mapping total: the production fused program. mapping_step DONATES
-    # its map argument, so each call needs a fresh device copy (a ~0.1 ms
-    # HBM copy, noise next to the ~100 ms program).
+    # Mapping total / KF insertion: the production fused programs. Both
+    # DONATE their map argument, so the timed calls consume PRE-STAGED
+    # whole-map copies (copying the ~100 MB map inside the loop would
+    # bill dozens of copy dispatches to the row).
+    n_rep = 5
+    pool = [jax.tree.map(jnp.copy, mst) for _ in range(n_rep + 1)]
+    jax.block_until_ready(pool)
+
     def full():
-        m2, stats = MO.mapping_step(
-            jax.tree.map(jnp.copy, mst), kf, cam, scales)
+        m2, stats = MO.mapping_step(pool.pop(), kf, cam, scales)
         return stats
     rows["Mapping total / keyframe"] = timeit(
-        "Mapping total / keyframe", full, n=5)
+        "Mapping total / keyframe", full, n=n_rep)
     # KeyFrame insertion: the tracker-side fused program.
     from splslam_tpu.slam import pipeline as P
 
+    pool2 = [jax.tree.map(jnp.copy, mst) for _ in range(n_rep + 1)]
+    jax.block_until_ready(pool2)
+
     def kf_insert():
         m2, s2, out = P.add_keyframe_step(
-            jax.tree.map(jnp.copy, mst), sysm.step,
+            pool2.pop(), sysm.step,
             jnp.int32(999), jnp.float32(99.9),
             jnp.float32(35.0 * float(bf) / float(K[0, 0])), cam, sysm.spec,
         )
         return out
-    rows["KeyFrame insertion"] = timeit("KeyFrame insertion", kf_insert, n=5)
+    rows["KeyFrame insertion"] = timeit(
+        "KeyFrame insertion", kf_insert, n=n_rep)
 
     ms = rows["Local BA / keyframe"]
     print(json.dumps({
