@@ -40,8 +40,10 @@ import jax
 import jax.numpy as jnp
 
 N_WORDS = 8
-MAX_STEPS = 96          # max half-length of a segment, pixels
-ANGLE_TOL = 0.3         # rad, level-line angle agreement
+MAX_STEPS = 64          # max half-length of a segment, pixels
+#                         (longer structure is recovered at coarser octaves)
+ANGLE_TOL = 0.35        # rad, level-line angle agreement (covers
+#                         nearest-pixel angle sampling jitter)
 MAG_FRAC = 0.02         # min gradient magnitude as a fraction of max
 
 
@@ -119,23 +121,33 @@ def _angle_diff(a: jax.Array, b: jax.Array) -> jax.Array:
     return jnp.minimum(d, jnp.pi - d)
 
 
-def _grow(seeds_xy, seed_angle, gx, gy, mag, mag_th, direction):
+def _grow(seeds_xy, seed_angle, ang_map, mag, mag_th, direction):
     """March from seeds along +-(cos a, sin a); return run lengths [C].
 
     Robustness: continuation uses a hysteresis magnitude threshold
     (0.5x the seed threshold) and single-sample dropouts are bridged
     (a dead sample flanked by two live ones stays live) — texture noise
-    on top of an otherwise clean edge must not truncate the run."""
+    on top of an otherwise clean edge must not truncate the run.
+
+    Sampling: BILINEAR magnitude (endpoint stability across frames needs
+    the smooth field) + NEAREST level-line angle from a precomputed
+    dense map: 5 gathers per (seed, step) instead of the 12 bilinear
+    taps of sampling (mag, gx, gy) — TPU general gathers are the whole
+    cost of this detector (measured 59 ms/img at 640x480 with the
+    triple-map form). Angle jitter <=0.5 px is absorbed by ANGLE_TOL
+    and the gap bridging."""
+    H, W = mag.shape
     steps = jnp.arange(1, MAX_STEPS + 1, dtype=jnp.float32)
     dx = jnp.cos(seed_angle)[:, None] * steps[None, :] * direction
     dy = jnp.sin(seed_angle)[:, None] * steps[None, :] * direction
     xs = seeds_xy[:, 0:1] + dx
     ys = seeds_xy[:, 1:2] + dy
     m = _bilinear(mag, xs, ys)
-    sgx = _bilinear(gx, xs, ys)
-    sgy = _bilinear(gy, xs, ys)
-    # Level-line angle at the sample = gradient angle + pi/2.
-    ang = jnp.arctan2(sgy, sgx) + 0.5 * jnp.pi
+    xi = jnp.clip(jnp.round(xs), 0, W - 1).astype(jnp.int32)
+    yi = jnp.clip(jnp.round(ys), 0, H - 1).astype(jnp.int32)
+    ang = jnp.take(ang_map.reshape(-1), (yi * W + xi).reshape(-1)).reshape(
+        xs.shape
+    )
     alive = (m > 0.5 * mag_th) & (
         _angle_diff(ang, seed_angle[:, None]) < ANGLE_TOL
     )
@@ -275,13 +287,14 @@ def _detect_level(
     # first run's CENTER with a direction refit there, so the recovered
     # span depends on the physical line, not on where in it the seed
     # happened to land (stabilizes endpoints/midpoints across frames) ---
-    fwd = _grow(seeds, seed_angle, gx, gy, mag, mag_th, +1.0)
-    bwd = _grow(seeds, seed_angle, gx, gy, mag, mag_th, -1.0)
+    ang_map = jnp.arctan2(gy, gx) + 0.5 * jnp.pi  # dense level-line angle
+    fwd = _grow(seeds, seed_angle, ang_map, mag, mag_th, +1.0)
+    bwd = _grow(seeds, seed_angle, ang_map, mag, mag_th, -1.0)
     dirv = jnp.stack([jnp.cos(seed_angle), jnp.sin(seed_angle)], axis=-1)
     center = seeds + dirv * (0.5 * (fwd - bwd))[:, None]
     ang2 = _refine_direction(center, seed_angle, gx, gy)
-    fwd = _grow(center, ang2, gx, gy, mag, mag_th, +1.0)
-    bwd = _grow(center, ang2, gx, gy, mag, mag_th, -1.0)
+    fwd = _grow(center, ang2, ang_map, mag, mag_th, +1.0)
+    bwd = _grow(center, ang2, ang_map, mag, mag_th, -1.0)
     dirv = jnp.stack([jnp.cos(ang2), jnp.sin(ang2)], axis=-1)
     p_end = center + dirv * fwd[:, None]
     p_start = center - dirv * bwd[:, None]

@@ -440,6 +440,62 @@ def vo_frame_step_mono(
 
 @partial(
     jax.jit,
+    static_argnames=("spec", "line_capacity", "undistort"),
+)
+def build_frames_batch_mono(
+    imgs: jax.Array,   # [B,H,W] uint8
+    cam: Camera,
+    spec: PyramidSpec,
+    line_capacity: int = 128,
+    undistort: bool = False,
+) -> FrameData:
+    """Batched monocular frame construction (see build_frames_batch for
+    why a scan and why a separate program from tracking)."""
+    from splslam_tpu.slam.frame import build_frame_mono
+
+    def one(_, im):
+        f = build_frame_mono(
+            im.astype(jnp.float32), cam, spec,
+            undistort=undistort, with_lines=line_capacity > 1,
+            line_capacity=line_capacity,
+        )
+        return None, f
+
+    return jax.lax.scan(one, None, imgs)[1]
+
+
+def vo_batch_step_mono(
+    imgs: jax.Array,
+    map_state: MapState,
+    prev: StepState,
+    th_depth_m: jax.Array,
+    ref_kf: jax.Array,
+    cam: Camera,
+    spec: PyramidSpec,
+    scales: jax.Array,
+    m_local: int = 2048,
+    scale_factor: float = 1.2,
+    n_levels: int = 8,
+    line_capacity: int = 128,
+    undistort: bool = False,
+    loc_mode: jax.Array | bool = False,
+) -> tuple[MapState, StepState, jax.Array]:
+    """B monocular frames in TWO device dispatches (the mono analog of
+    vo_batch_step — the reference's per-frame GrabImageMonocular loop
+    has no batching; this is the TPU answer to per-frame RPC latency).
+    Only valid AFTER map initialization (keyframe decisions run between
+    batches on the host)."""
+    frames = build_frames_batch_mono(
+        imgs, cam, spec, line_capacity=line_capacity, undistort=undistort
+    )
+    return track_frames_batch(
+        frames, map_state, prev, th_depth_m, ref_kf, cam, scales,
+        m_local, scale_factor, n_levels, loc_mode,
+    )
+
+
+@partial(
+    jax.jit,
     static_argnames=("spec", "scale_factor", "n_levels", "max_new", "is_stereo"),
     donate_argnames=("map_state",),
 )

@@ -481,6 +481,59 @@ class System:
 
         return mono.track_mono_impl(self, image, timestamp)
 
+    def track_mono_batch(self, images, timestamps) -> np.ndarray:
+        """Track a batch of monocular frames in ONE device dispatch
+        (pipeline.vo_batch_step_mono) — the mono analog of
+        track_stereo_batch. Frames before map initialization fall back
+        to the sequential path (init needs per-frame host logic);
+        keyframe / reloc decisions run between batches on the
+        batch-final frame."""
+        t0 = time.perf_counter()
+        B = (len(images) if not isinstance(images, jax.Array)
+             else images.shape[0])
+        if self.state != TrackingState.OK or self.step is None:
+            first = (np.asarray(images[0]) if isinstance(images, jax.Array)
+                     else images[0])
+            out = self.track_mono(first, timestamps[0])
+            if B > 1:
+                return self.track_mono_batch(images[1:], timestamps[1:])
+            return out
+        if isinstance(images, jax.Array):
+            imgs = images
+        else:
+            imgs = jax.device_put(
+                np.stack([np.asarray(i) for i in images]).astype(np.uint8)
+            )
+        self.map, new_step, stats_dev = pipeline.vo_batch_step_mono(
+            imgs, self.map, self.step,
+            self._th_depth_dev, jnp.int32(self.ref_kf),
+            self.cam, self.spec, self.scales,
+            m_local=self.settings.local_window,
+            scale_factor=self.settings.scale_factor,
+            n_levels=self.settings.n_levels,
+            line_capacity=self.line_cap,
+            undistort=self.settings.has_distortion,
+            loc_mode=jnp.bool_(self.localization_only),
+        )
+        self.step = new_step
+        self.frame_id += B
+        if self.settings.batch_defer_stats:
+            try:
+                stats_dev.copy_to_host_async()
+            except AttributeError:
+                pass
+            prev = self._pending_batch
+            self._pending_batch = (stats_dev, list(timestamps), new_step)
+            if prev is not None:
+                self._consume_batch_stats(*prev)
+        else:
+            self._consume_batch_stats(stats_dev, timestamps, new_step)
+        self.timers.add(
+            "Tracking total / frame",
+            (time.perf_counter() - t0) * 1e3 / max(B, 1),
+        )
+        return self.last_Tcw_np.copy()
+
     def activate_localization_mode(self):
         self.localization_only = True
 

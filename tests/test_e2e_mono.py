@@ -114,3 +114,44 @@ class TestMonoCorridor:
         idx = [int(round(e.ts / 0.1)) for e in sysm.trajectory if not e.lost]
         err = ate_rmse(sysm.poses(), gt[idx], align_scale=True)
         assert err < 0.1, err
+
+
+class TestMonoBatched:
+    def test_batched_close_to_sequential(self):
+        """track_mono_batch (one dispatch per B frames, KF decisions at
+        batch boundaries) must reproduce the sequential mono trajectory
+        on an easy scene (same contract as the stereo batch test)."""
+        K, bf, frames, gt = make_stereo_sequence(
+            n_frames=24, motion="lateral", width=320, height=240, seed=3,
+        )
+        def make():
+            st = Settings(
+                fx=float(K[0, 0]), fy=float(K[1, 1]), cx=float(K[0, 2]),
+                cy=float(K[1, 2]), bf=0.0, width=320, height=240,
+                n_features=600, n_levels=4, fps=10,
+                max_points=8192, max_keyframes=64, local_window=1024,
+                using_line=True, line_features=64,
+                enable_local_mapping=False,
+            )
+            return System(st, Sensor.MONOCULAR)
+
+        seq = make()
+        for i, (l, r) in enumerate(frames):
+            seq.track_mono(l, i * 0.1)
+        seq.drain()
+
+        bat = make()
+        i = 0
+        while i < len(frames):
+            chunk = [l for (l, r) in frames[i:i + 6]]
+            ts = [j * 0.1 for j in range(i, i + len(chunk))]
+            bat.track_mono_batch(chunk, ts)
+            i += len(chunk)
+        bat.drain()
+
+        assert bat.get_tracking_state() == TrackingState.OK
+        ps, pb = seq.poses(), bat.poses()
+        n = min(len(ps), len(pb))
+        assert n >= 12
+        err = np.linalg.norm(ps[:n, :3, 3] - pb[:n, :3, 3], axis=-1).max()
+        assert err < 0.02, err
