@@ -33,8 +33,8 @@ def main():
     img_id = 0
     for seed in range(12):
         K, bf, frames, gt = make_stereo_sequence(
-            n_frames=10, width=W, height=H, motion=("forward", "strafe",
-            "yaw")[seed % 3], seed=seed)
+            n_frames=10, width=W, height=H, motion=("forward", "lateral",
+            "arc")[seed % 3], seed=seed)
         for (l, r) in frames:
             f = extract_orb(jnp.asarray(l, jnp.float32), spec)
             v = np.asarray(f.valid)

@@ -57,6 +57,9 @@ class LineFeatures(NamedTuple):
     response: jax.Array  # [L] mean gradient magnitude along the segment
     desc: jax.Array      # [L,8] uint32 packed LBD-like descriptor
     valid: jax.Array     # [L] bool
+    octave: jax.Array    # [L] i32 detection pyramid level (the reference
+    #                      KeyLine.octave, used by the same-or-finer
+    #                      scale gate in keyframe culling)
 
     @property
     def capacity(self) -> int:
@@ -72,6 +75,7 @@ class LineFeatures(NamedTuple):
             response=jnp.zeros((capacity,)),
             desc=jnp.zeros((capacity, N_WORDS), jnp.uint32),
             valid=jnp.zeros((capacity,), bool),
+            octave=jnp.zeros((capacity,), jnp.int32),
         )
 
     def with_segments(self, seg: jax.Array) -> "LineFeatures":
@@ -342,6 +346,7 @@ def extract_lines(
 
     H, W = image.shape
     cand_a, cand_b, cand_len, cand_ok, cand_resp = [], [], [], [], []
+    cand_oct = []
     lv_img = image
     for lv in range(n_octaves):
         s = 2.0 ** lv
@@ -356,11 +361,13 @@ def extract_lines(
         cand_len.append(ln * s)
         cand_ok.append(ok)
         cand_resp.append(cm)
+        cand_oct.append(jnp.full(ok.shape, lv, jnp.int32))
     a = jnp.concatenate(cand_a)
     b = jnp.concatenate(cand_b)
     length = jnp.concatenate(cand_len)
     ok = jnp.concatenate(cand_ok)
     cmax = jnp.concatenate(cand_resp)
+    octv = jnp.concatenate(cand_oct)
 
     # Gradients at level 0 for dedup/refine/describe.
     gx, gy = sobel_gradients(image)
@@ -415,6 +422,7 @@ def extract_lines(
         response=response[top_i],
         desc=desc,
         valid=valid,
+        octave=jnp.where(valid, octv[top_i], 0),
     )
 
 

@@ -235,15 +235,19 @@ def _gates(p: BAProblem):
     per-edge at the 1-dof 3.841 delta."""
     gate = jnp.where(p.e_ur >= 0, CHI2_STEREO, CHI2_MONO)
     if p.e_coef is None:
-        return gate, gate, lambda chi2: chi2
+        return gate, gate, lambda chi2, valid: chi2
     gate = jnp.where(p.e_line, CHI2_POINT_JOINT, gate)
     huber = jnp.where(p.e_line, CHI2_LINE, jnp.where(
         p.e_ur >= 0, CHI2_STEREO, CHI2_MONO))
 
-    def joint(chi2):
-        partner = jnp.where(
-            p.e_pair >= 0, chi2[jnp.clip(p.e_pair, 0)], 0.0
-        )
+    def joint(chi2, valid):
+        # Partner chi2 only counts when the partner edge is itself live
+        # (e_ok and depth-valid): a behind-camera endpoint's chi2 is
+        # computed with z clamped and would arbitrarily gate out the
+        # surviving endpoint otherwise.
+        pv = p.e_pair >= 0
+        pi = jnp.clip(p.e_pair, 0)
+        partner = jnp.where(pv & valid[pi], chi2[pi], 0.0)
         return jnp.where(p.e_line, chi2 + partner, chi2)
 
     return gate, huber, joint
@@ -402,14 +406,14 @@ def ba_solve(
         )
         (Tcw_all, xyz_all), lam, _ = st
         _, _, _, chi2, z_ok = _edge_terms(Tcw_all, xyz_all, cam, p)
-        new_active = p.e_ok & (joint_chi2(chi2) <= chi2_gate) & z_ok
+        new_active = p.e_ok & (joint_chi2(chi2, p.e_ok & z_ok) <= chi2_gate) & z_ok
         return ((Tcw_all, xyz_all), new_active, lam), None
 
     init = ((p.Tcw, p.xyz), p.e_ok, jnp.float32(damping))
     (st, active, _), _ = jax.lax.scan(round_body, init, None, length=rounds)
     Tcw_all, xyz_all = st
     _, _, _, chi2, z_ok = _edge_terms(Tcw_all, xyz_all, cam, p)
-    inlier = p.e_ok & (joint_chi2(chi2) <= chi2_gate) & z_ok
+    inlier = p.e_ok & (joint_chi2(chi2, p.e_ok & z_ok) <= chi2_gate) & z_ok
     total = jnp.sum(jnp.where(inlier, chi2, 0.0))
     return BAResult(Tcw_all, xyz_all, inlier, chi2, total)
 
@@ -600,13 +604,13 @@ def ba_solve_pcg(
         state, _ = jax.lax.scan(step, state, None, length=gn_iters)
         Tcw_all, xyz_all = state
         _, _, _, chi2, z_ok = _edge_terms(Tcw_all, xyz_all, cam, p)
-        new_active = p.e_ok & (joint_chi2(chi2) <= chi2_gate) & z_ok
+        new_active = p.e_ok & (joint_chi2(chi2, p.e_ok & z_ok) <= chi2_gate) & z_ok
         return ((Tcw_all, xyz_all), new_active), None
 
     ((Tcw_all, xyz_all), active), _ = jax.lax.scan(
         round_body, ((p.Tcw, p.xyz), p.e_ok), None, length=rounds
     )
     _, _, _, chi2, z_ok = _edge_terms(Tcw_all, xyz_all, cam, p)
-    inlier = p.e_ok & (joint_chi2(chi2) <= chi2_gate) & z_ok
+    inlier = p.e_ok & (joint_chi2(chi2, p.e_ok & z_ok) <= chi2_gate) & z_ok
     total = jnp.sum(jnp.where(inlier, chi2, 0.0))
     return BAResult(Tcw_all, xyz_all, inlier, chi2, total)

@@ -159,52 +159,62 @@ def _build_pose_graph_edges(st: mapmod.MapState, n_kfs: int,
     mpParentLines pair, KeyFrame.cc:706, :1112), the sequential chain as
     a connectivity backbone, high-covisibility edges (weight >= 100,
     :1120-1143), PAST loop edges (:1096-1117), and the new loop edge.
-    Relative Sim3 measurements come from the current poses."""
+    Relative Sim3 measurements come from the current poses.
+
+    Fully vectorized on host numpy: edge selection is array ops over the
+    [K,K] covisibility matrices (no per-pair Python loop) and relative
+    poses come from ONE batched inverse + ONE batched matmul, so a
+    512-keyframe correction assembles in milliseconds."""
     Tcw = np.asarray(st.kfs.Tcw[:n_kfs])
-    inv = np.array([np.linalg.inv(T) for T in Tcw])
-    ei, ej, ss, Rs, ts, w = [], [], [], [], [], []
+    inv = np.linalg.inv(Tcw)                               # batched [n,4,4]
 
-    def add(i, j, weight, s_ij=None, R_ij=None, t_ij=None):
-        if s_ij is None:
-            rel = Tcw[i] @ inv[j]
-            s_ij, R_ij, t_ij = 1.0, rel[:3, :3], rel[:3, 3]
-        ei.append(i); ej.append(j)
-        ss.append(float(s_ij)); Rs.append(np.asarray(R_ij))
-        ts.append(np.asarray(t_ij)); w.append(float(weight))
-
-    # sequential chain: connectivity backbone
-    seen = set()
-    for k in range(1, n_kfs):
-        add(k, k - 1, 1.0)
-        seen.add((k, k - 1))
+    n = n_kfs
+    # sequential chain (connectivity backbone): (k, k-1)
+    chain = np.stack([np.arange(1, n), np.arange(0, n - 1)], 1)
     # dual spanning trees: each keyframe's point-parent and line-parent
     # are its most-covisible PRIOR keyframe in that modality (reference
     # parent assignment, KeyFrame.cc:700-710 and the Lines variant)
-    C = np.asarray(_covis_matrix(st))[:n_kfs, :n_kfs]
-    CL = np.asarray(_covis_matrix_lines(st))[:n_kfs, :n_kfs]
+    C = np.asarray(_covis_matrix(st))[:n, :n]
+    CL = np.asarray(_covis_matrix_lines(st))[:n, :n]
+    lower = np.tril(np.ones((n, n), bool), -1)             # j < i strictly
+    tree_pairs = []
     for Cm in (C, CL):
-        for i in range(1, n_kfs):
-            j = int(np.argmax(Cm[i, :i]))
-            if Cm[i, j] > 0 and (i, j) not in seen:
-                add(i, j, 1.0)
-                seen.add((i, j))
-    # covisibility edges >= covis_min (dedup i>j, skip edges present)
-    for i in range(n_kfs):
-        for j in range(i):
-            if (i, j) in seen:
-                continue
-            if C[i, j] >= covis_min:
-                add(i, j, 1.0)
+        Cm_prior = np.where(lower, Cm, -1)
+        parent = np.argmax(Cm_prior[1:], axis=1)           # [n-1]
+        has = Cm_prior[np.arange(1, n), parent] > 0
+        tree_pairs.append(
+            np.stack([np.arange(1, n)[has], parent[has]], 1))
+    # covisibility edges >= covis_min (i > j)
+    ci, cj = np.nonzero(lower & (C >= covis_min))
+    covis = np.stack([ci, cj], 1)
+    base = np.concatenate([chain] + tree_pairs + [covis], 0)
+    # dedup (chain/tree/covis overlap freely)
+    base = np.unique(base[:, 0] * n + base[:, 1])
+    bi, bj = base // n, base % n
     # past loop edges (reference keeps them permanently, :1096)
-    for (i, j) in (past_loops or []):
-        if i < n_kfs and j < n_kfs and (i, j) != (loop_i, loop_j):
-            add(i, j, float(n_kfs))
+    pl = np.asarray(
+        [(i, j) for (i, j) in (past_loops or [])
+         if i < n and j < n and (i, j) != (loop_i, loop_j)],
+        np.int64,
+    ).reshape(-1, 2)
+    ei = np.concatenate([bi, pl[:, 0], [loop_i]])
+    ej = np.concatenate([bj, pl[:, 1], [loop_j]])
+    w = np.concatenate(
+        [np.ones(len(bi)), np.full(len(pl) + 1, float(n))]
+    )
+    # relative measurements from current poses (one batched matmul);
+    # the NEW loop edge carries the measured Sim3 instead.
+    rel = Tcw[ei] @ inv[ej]                                # [E,4,4]
+    ss = np.ones(len(ei), np.float32)
+    Rs = rel[:, :3, :3].astype(np.float32)
+    ts = rel[:, :3, 3].astype(np.float32)
     s, R, t = S_loop
-    add(loop_i, loop_j, float(n_kfs), float(s), np.asarray(R), np.asarray(t))
+    ss[-1] = float(s)
+    Rs[-1] = np.asarray(R, np.float32)
+    ts[-1] = np.asarray(t, np.float32)
     return S3.PoseGraphEdges(
         i=jnp.asarray(ei, jnp.int32), j=jnp.asarray(ej, jnp.int32),
-        s=jnp.asarray(ss, jnp.float32), R=jnp.asarray(np.array(Rs), jnp.float32),
-        t=jnp.asarray(np.array(ts), jnp.float32),
+        s=jnp.asarray(ss), R=jnp.asarray(Rs), t=jnp.asarray(ts),
         weight=jnp.asarray(w, jnp.float32),
     )
 
@@ -240,9 +250,33 @@ def _apply_pose_graph(st: mapmod.MapState, s_f, R_f, t_f, valid_k):
     new_xyz = jnp.where(
         (pts.valid & valid_k[ref])[:, None], xw, pts.xyz
     )
+
+    # Map-LINES move with their owning keyframe exactly like points
+    # (start/mid/end rows together). The reference's loop pipeline is
+    # points-only (src/LoopClosing.cc has no MapLine references), but
+    # leaving lines in the pre-correction frame would make them
+    # inconsistent with the corrected poses — strictly better to move
+    # them through the same correction.
+    lns = st.lns
+    lref = jnp.clip(lns.first_kf, 0, K - 1)
+    Tol = old_Tcw[lref]                       # [Q,4,4]
+    lxyz = lns.xyz                            # [Q,3,3]
+    pcl = (
+        jnp.einsum("qij,qrj->qri", Tol[:, :3, :3], lxyz)
+        + Tol[:, None, :3, 3]
+    )
+    Tnl = new_Tcw[lref]
+    inv_sl = (1.0 / s_f[lref])[:, None, None]
+    lxw = jnp.einsum(
+        "qji,qrj->qri", Tnl[:, :3, :3], pcl * inv_sl - Tnl[:, None, :3, 3]
+    )
+    new_lxyz = jnp.where(
+        (lns.valid & valid_k[lref])[:, None, None], lxw, lxyz
+    )
     return st._replace(
         kfs=kfs._replace(Tcw=new_Tcw),
         pts=pts._replace(xyz=new_xyz),
+        lns=lns._replace(xyz=new_lxyz),
     )
 
 
@@ -310,9 +344,12 @@ def loop_search_and_fuse(
         remap = remap.at[jnp.where(both, jnp.clip(tgt, 0), P)].set(
             jnp.where(both, loop_lms, 0), mode="drop"
         )
-        # free feature gains the loop observation
+        # free feature gains the loop observation. OOB-high sentinel
+        # (row length), never -1: negative scatter indices wrap before
+        # mode="drop" can drop them.
         free_hit = hit & (tgt < 0)
-        row = kfs.lm_idx[kf].at[jnp.where(free_hit, mt, -1)].set(
+        N_feat = kfs.lm_idx.shape[1]
+        row = kfs.lm_idx[kf].at[jnp.where(free_hit, mt, N_feat)].set(
             jnp.where(free_hit, loop_lms, -1), mode="drop"
         )
         st = st._replace(
@@ -532,9 +569,28 @@ class LoopCloser:
             e_ok=e_ok.reshape(-1),
         )
         res = ba_solve_pcg(sys.cam, prob, rounds=rounds)
+        # Lines are not in the GBA edge set (the reference's stock GBA is
+        # points-only); carry them with their owning keyframe's pose
+        # delta so they stay consistent with the optimized map:
+        # X' = Tnew^-1 Told X.
+        lns = st.lns
+        lref = jnp.clip(lns.first_kf, 0, K - 1)
+        To = st.kfs.Tcw[lref]
+        Tn = res.Tcw[lref]
+        pc = (
+            jnp.einsum("qij,qrj->qri", To[:, :3, :3], lns.xyz)
+            + To[:, None, :3, 3]
+        )
+        lxw = jnp.einsum(
+            "qji,qrj->qri", Tn[:, :3, :3], pc - Tn[:, None, :3, 3]
+        )
+        new_lxyz = jnp.where(
+            (lns.valid & st.kfs.valid[lref])[:, None, None], lxw, lns.xyz
+        )
         sys.map = sys.map._replace(
             kfs=st.kfs._replace(Tcw=res.Tcw),
             pts=st.pts._replace(xyz=res.xyz),
+            lns=lns._replace(xyz=new_lxyz),
         )
         n = sys.n_kfs
         kf_Tcw = np.asarray(sys.map.kfs.Tcw[:n])

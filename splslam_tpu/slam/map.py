@@ -74,6 +74,10 @@ class MapLines(NamedTuple):
     n_obs: jax.Array      # [Q] i32
     first_kf: jax.Array   # [Q] i32
     valid: jax.Array      # [Q] bool
+    octave: jax.Array     # [Q] i32 detection octave at the owning KF
+    #                       (reference KeyLine.octave via the observing
+    #                       keyframe; feeds the same-or-finer scale gate
+    #                       of line keyframe-culling, LocalMapping.cc:1577)
 
     @staticmethod
     def empty(q: int) -> "MapLines":
@@ -86,6 +90,7 @@ class MapLines(NamedTuple):
             n_obs=jnp.zeros((q,), jnp.int32),
             first_kf=jnp.zeros((q,), jnp.int32),
             valid=jnp.zeros((q,), bool),
+            octave=jnp.zeros((q,), jnp.int32),
         )
 
 
@@ -109,6 +114,7 @@ class KeyFrames(NamedTuple):
     llen: jax.Array      # [K,L]
     lvalid: jax.Array    # [K,L] bool
     ll_idx: jax.Array    # [K,L] i32 map-line per line feature, -1 none
+    loctave: jax.Array   # [K,L] i32 line detection octave
     valid: jax.Array     # [K] bool
     frame_id: jax.Array  # [K] i32
     ts: jax.Array        # [K] f64-as-f32 timestamp
@@ -132,6 +138,7 @@ class KeyFrames(NamedTuple):
             llen=jnp.zeros((k, l)),
             lvalid=jnp.zeros((k, l), bool),
             ll_idx=jnp.full((k, l), NO_LM),
+            loctave=jnp.zeros((k, l), jnp.int32),
             valid=jnp.zeros((k,), bool),
             frame_id=jnp.zeros((k,), jnp.int32),
             ts=jnp.zeros((k,)),
@@ -214,6 +221,7 @@ def insert_keyframe(
         llen=kfs.llen.at[k].set(frame.lines.length),
         lvalid=kfs.lvalid.at[k].set(frame.lines.valid),
         ll_idx=kfs.ll_idx.at[k].set(ll_idx),
+        loctave=kfs.loctave.at[k].set(frame.lines.octave),
         valid=kfs.valid.at[k].set(True),
         frame_id=kfs.frame_id.at[k].set(frame_id),
         ts=kfs.ts.at[k].set(ts),

@@ -388,9 +388,13 @@ def fuse_neighbors(
         remap = remap.at[jnp.where(both, loser, P)].set(
             jnp.where(both, winner, 0), mode="drop"
         )
-        # Case B: free feature gains the observation.
+        # Case B: free feature gains the observation. The dropped-row
+        # sentinel must be OUT OF BOUNDS HIGH (row length), never -1:
+        # JAX normalizes negative scatter indices before the OOB check,
+        # so -1 would silently clobber the last slot.
         free_hit = hit & (tgt_lm < 0)
-        nb_row = kfs.lm_idx[nb].at[jnp.where(free_hit, mt, -1)].set(
+        N_feat = kfs.lm_idx.shape[1]
+        nb_row = kfs.lm_idx[nb].at[jnp.where(free_hit, mt, N_feat)].set(
             jnp.where(free_hit, lm, -1), mode="drop"
         )
         w_new = jnp.where(kfs.u_right[nb][col] >= 0, 2, 1)
@@ -585,6 +589,7 @@ def create_new_lines(
             n_found=lns.n_found.at[sl].set(1, mode="drop"),
             first_kf=lns.first_kf.at[sl].set(kf, mode="drop"),
             valid=lns.valid.at[sl].set(True, mode="drop"),
+            octave=lns.octave.at[sl].set(kfs.loctave[kf], mode="drop"),
         )
         ll_kf = jnp.where(create, slots.astype(jnp.int32), kfs.ll_idx[kf])
         nb_col = jnp.clip(mt, 0)
@@ -661,7 +666,10 @@ def fuse_neighbor_lines(
             jnp.where(both, winner, 0), mode="drop"
         )
         free_hit = hit & (tgt < 0)
-        nb_row = kfs.ll_idx[nb].at[jnp.where(free_hit, mt, -1)].set(
+        # OOB-high sentinel (row length), never -1: negative scatter
+        # indices wrap before mode="drop" can drop them.
+        Lf = kfs.ll_idx.shape[1]
+        nb_row = kfs.ll_idx[nb].at[jnp.where(free_hit, mt, Lf)].set(
             jnp.where(free_hit, ll, -1), mode="drop"
         )
         obs_inc = jnp.zeros_like(lns.n_obs).at[
@@ -731,17 +739,25 @@ def refresh_landmark_stats(
         obs_ok, mode="drop"
     )[:L]
 
-    # Min-median Hamming descriptor (reference ComputeDistinctiveDescriptors).
+    # Min-median Hamming descriptor (reference ComputeDistinctiveDescriptors,
+    # src/MapPoint.cc: median = sorted_dists[(N-1)/2] over the N actual
+    # observations). Median over VALID pairs only: sort each candidate row
+    # with a +large fill so the n_obs_w valid distances lead, then gather
+    # at (n_obs_w-1)//2 — a fixed-width median over the filled row would
+    # degenerate to "first observer" for landmarks seen by <= C/2 window
+    # cameras.
     x = jnp.bitwise_xor(obs_desc[:, :, None, :], obs_desc[:, None, :, :])
     d = jnp.sum(jax.lax.population_count(x), axis=-1).astype(jnp.int32)
     pair_ok = obs_has[:, :, None] & obs_has[:, None, :]
-    d = jnp.where(pair_ok, d, 1 << 15)
-    med = jnp.median(
-        jnp.where(pair_ok, d, 257).astype(jnp.float32), axis=-1
-    )                                               # [L,C]
+    d_sorted = jnp.sort(jnp.where(pair_ok, d, 1 << 15), axis=-1)  # [L,C,C]
+    n_obs_w0 = jnp.sum(obs_has.astype(jnp.int32), axis=-1)        # [L]
+    mi = jnp.clip((n_obs_w0 - 1) // 2, 0, C - 1)
+    med = jnp.take_along_axis(
+        d_sorted, mi[:, None, None], axis=-1
+    )[..., 0].astype(jnp.float32)                   # [L,C]
     med = jnp.where(obs_has, med, jnp.inf)
     best = jnp.argmin(med, axis=-1)                 # [L]
-    n_obs_w = jnp.sum(obs_has.astype(jnp.int32), axis=-1)
+    n_obs_w = n_obs_w0
     new_desc = obs_desc[jnp.arange(L), best]
 
     # Mean viewing normal + scale band from the reference observation
@@ -826,15 +842,23 @@ def cull_keyframes(st: MapState, kf: jax.Array, max_cull: int = 2,
         & (n_feat > 50)
     )
     if with_lines:
-        # Line redundancy: >= 90% of the keyframe's map-lines observed
-        # by >= 3 other keyframes (single detection octave here, so the
-        # scale gate degenerates to an observer count).
+        # Line redundancy: >= 90% of the keyframe's map-lines observed by
+        # >= 3 other keyframes at the SAME OR FINER octave — the scale
+        # condition of the point criterion applied to the line graph
+        # (reference KeyFrameCullingBoth's line culler keeps the
+        # scaleLevel<=scaleLevel+1 gate, src/LocalMapping.cc:1577-1625).
         Q = st.lns.xyz.shape[0]
         ll = kfs.ll_idx
         lok = (ll >= 0) & kfs.lvalid & kfs.valid[:, None] \
             & st.lns.valid[jnp.clip(ll, 0)]
-        lobs = st.lns.n_obs[jnp.clip(ll, 0)]
-        lredundant = lok & (lobs >= 4)
+        loct = jnp.clip(kfs.loctave, 0, n_lv - 1)
+        lhist = jnp.zeros((Q + 1, n_lv), jnp.int32).at[
+            jnp.where(lok, ll, Q).reshape(-1), loct.reshape(-1)
+        ].add(1, mode="drop")
+        lcnt_leq = jnp.cumsum(lhist[:Q], axis=1)           # [Q, n_lv]
+        lgate_oct = jnp.clip(loct + 1, 0, n_lv - 1)
+        lobs_scaled = lcnt_leq[jnp.clip(ll, 0), lgate_oct]  # observers incl self
+        lredundant = lok & (lobs_scaled >= 4)
         n_lf = jnp.sum(lok.astype(jnp.int32), axis=1)
         n_lred = jnp.sum(lredundant.astype(jnp.int32), axis=1)
         lratio = n_lred.astype(jnp.float32) / jnp.maximum(

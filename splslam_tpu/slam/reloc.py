@@ -145,8 +145,11 @@ def epnl_ransac(
     n_hyp: int = 128,
 ) -> tuple[jax.Array, jax.Array, jax.Array]:
     """Line-only minimal RANSAC (the reference's EPnL,
-    PnPsolver::iterateLines src/PnPsolver.cc:367-447): 4-line hypotheses
-    solved by DLT, scored by the midpoint line-coefficient residual at
+    PnPsolver::iterateLines src/PnPsolver.cc:367-447): 6-line hypotheses
+    (each line contributes 2 DLT rows via its endpoints, so 6 lines give
+    a comfortably overdetermined 12x12 system; the reference samples 4
+    with its control-point parameterization), scored by the midpoint
+    line-coefficient residual at
     the 1-dof chi2 3.841 gate (SetRansacParametersLines :70-71,
     CheckInlierLines :610). Returns (Tcw, n_inliers, inlier_mask)."""
     L = coef.shape[0]
