@@ -91,7 +91,17 @@ class LineFeatures(NamedTuple):
 
 
 def sobel_gradients(image: jax.Array) -> tuple[jax.Array, jax.Array]:
-    """(H,W) -> (gx, gy) via 3x3 Sobel."""
+    """(H,W) -> (gx, gy) via 3x3 Sobel.
+
+    Zero padding is deliberate: the implicit dark border makes the image
+    boundary the strongest gradient in the frame, which inflates the
+    global magnitude threshold (mag_th = MAG_FRAC * max) into an
+    effective noise floor. An edge-replicate pad was measured WORSE on
+    every repeatability metric (matcher re-association 0.50 -> 0.43,
+    geometric 0.52 -> 0.25 on the grid-scene regression suite): without
+    the border-driven floor, weak noise seeds pass MAG_FRAC and fragment
+    the segment table. Border runs themselves lose the duplicate-
+    suppression/top-K ranking to real lines."""
     img = image[None, None]
     kx = jnp.array([[-1, 0, 1], [-2, 0, 2], [-1, 0, 1]], jnp.float32)
     ky = kx.T
@@ -375,17 +385,65 @@ def extract_lines(
     # Mean gradient magnitude along the kept run as the response.
     response = jnp.where(ok, length * 0.0 + cmax, 0.0)
 
-    # --- suppress duplicates: collinear segments whose spans overlap ---
-    # (many seeds on one physical edge grow into overlapping runs; keep
-    # only the longest per edge)
+    # --- MERGE collinear overlapping runs, then suppress duplicates ---
+    # Many seeds on one physical edge grow into overlapping capped runs
+    # whose fragment boundaries shift with the grid as the camera moves —
+    # the dominant frame-to-frame repeatability failure. Discarding all
+    # but the longest (round-2 behavior) kept a fragment of the edge;
+    # merging extends the survivor to the UNION extent of its collinear
+    # group (the reference's mergeSegments, src/Lineextractor.cc:545-615),
+    # so the recovered segment covers the whole edge regardless of where
+    # individual seeds landed. Two rounds handle chains (A~B, B~C).
+    H_img, W_img = image.shape
+    for _merge_round in range(2):
+        mid = 0.5 * (a + b)
+        ang = jnp.arctan2(b[:, 1] - a[:, 1], b[:, 0] - a[:, 0])
+        dv = jnp.stack([jnp.cos(ang), jnp.sin(ang)], axis=-1)  # unit dir
+        nv = jnp.stack([-dv[:, 1], dv[:, 0]], axis=-1)         # unit normal
+        dm = mid[None, :, :] - mid[:, None, :]                 # j rel. to i
+        perp = jnp.abs(jnp.sum(dm * nv[:, None, :], axis=-1))
+        along = jnp.abs(jnp.sum(dm * dv[:, None, :], axis=-1))
+        # gap bridge: disjoint capped runs along one edge merge when
+        # their spans come within 8 px (the reference bridges gaps in
+        # mergeSegments too; seeds in different grid cells grow runs
+        # that need not touch)
+        half_span = 0.5 * (length[:, None] + length[None, :]) + 4.0
+        same_line = (
+            (_angle_diff(ang[:, None], ang[None, :]) < 0.1)
+            & (perp < 4.0)
+            & (along < half_span)
+            & ok[:, None] & ok[None, :]
+        )
+        # Union extent along segment i's axis over its collinear group.
+        ta = jnp.sum((a[None, :, :] - mid[:, None, :]) * dv[:, None, :], -1)
+        tb = jnp.sum((b[None, :, :] - mid[:, None, :]) * dv[:, None, :], -1)
+        t_lo = jnp.minimum(ta, tb)
+        t_hi = jnp.maximum(ta, tb)
+        tmin = jnp.min(jnp.where(same_line, t_lo, jnp.inf), axis=1)
+        tmax = jnp.max(jnp.where(same_line, t_hi, -jnp.inf), axis=1)
+        grew = ok & jnp.isfinite(tmin) & jnp.isfinite(tmax)
+        a_new = mid + tmin[:, None] * dv
+        b_new = mid + tmax[:, None] * dv
+        a = jnp.where(grew[:, None], a_new, a)
+        b = jnp.where(grew[:, None], b_new, b)
+        a = jnp.clip(a, 0.0, jnp.asarray([W_img - 1.0, H_img - 1.0]))
+        b = jnp.clip(b, 0.0, jnp.asarray([W_img - 1.0, H_img - 1.0]))
+        length = jnp.linalg.norm(b - a, axis=-1)
+        # A merged extent that left the image collapses under the clip;
+        # re-apply the length gate on the MERGED extent so degenerate
+        # scraps can't reach top-K (their pre-merge ok was earned at a
+        # different extent).
+        ok = ok & (length >= 0.5 * min_length)
+    # After merging, group members share (nearly) the same extent: keep
+    # only the longest per group (ties break by index). Group membership
+    # recomputed on the MERGED extents (the loop's same_line predates the
+    # final extent update).
     mid = 0.5 * (a + b)
     ang = jnp.arctan2(b[:, 1] - a[:, 1], b[:, 0] - a[:, 0])
-    dv = jnp.stack([jnp.cos(ang), jnp.sin(ang)], axis=-1)  # [C,2] unit dir
-    nv = jnp.stack([-dv[:, 1], dv[:, 0]], axis=-1)         # unit normal
-    dm = mid[None, :, :] - mid[:, None, :]                 # j relative to i
-    # Perpendicular distance of segment j's midpoint from segment i's line.
+    dv = jnp.stack([jnp.cos(ang), jnp.sin(ang)], axis=-1)
+    nv = jnp.stack([-dv[:, 1], dv[:, 0]], axis=-1)
+    dm = mid[None, :, :] - mid[:, None, :]
     perp = jnp.abs(jnp.sum(dm * nv[:, None, :], axis=-1))
-    # Projection distance along segment i's direction.
     along = jnp.abs(jnp.sum(dm * dv[:, None, :], axis=-1))
     half_span = 0.5 * (length[:, None] + length[None, :]) + 4.0
     same_line = (
@@ -444,7 +502,16 @@ def lbd_descriptor(
     Gradients are rotated into the line frame (d_parallel, d_perp), pooled
     per band into (mean+, mean-, std+, std-) statistics over both axes;
     adjacent-band statistic comparisons binarize to 256 bits.
-    """
+
+    Extent robustness: each sample COLUMN (one position along the line,
+    all bands) is weighted by the on-line gradient magnitude at that
+    position. The detector's collinear merge recovers the union extent of
+    a fragment group, which wobbles by a few px with image noise; with
+    uniform pooling every band statistic shifts with the endpoints
+    (measured: a 10-15 px extent change flips ~40% of bits — worse than
+    the matching budget), while magnitude weighting zeroes the overhang
+    columns (off the physical edge there is no on-line gradient) and
+    re-centers the statistics on the edge's actual support."""
     L = seg.shape[0]
     t = jnp.linspace(0.05, 0.95, BAND_SAMPLES)
     band_off = jnp.linspace(-BAND_WIDTH, BAND_WIDTH, N_BANDS)
@@ -462,16 +529,33 @@ def lbd_descriptor(
     g_par = ca[:, None, None] * sgx + sa[:, None, None] * sgy
     g_perp = -sa[:, None, None] * sgx + ca[:, None, None] * sgy
 
+    # On-line support weight per sample column: max magnitude over a
+    # +-1 px normal probe at the base position (the subpixel endpoints
+    # need not sit exactly on the maximal-gradient ridge).
+    mags = []
+    for probe in (-1.0, 0.0, 1.0):
+        mgx = _bilinear(gx, base_x - sa[:, None] * probe,
+                        base_y + ca[:, None] * probe)
+        mgy = _bilinear(gy, base_x - sa[:, None] * probe,
+                        base_y + ca[:, None] * probe)
+        mags.append(mgx * mgx + mgy * mgy)
+    w = jnp.sqrt(jnp.maximum(jnp.maximum(mags[0], mags[1]), mags[2]))
+    w = w / jnp.maximum(jnp.sum(w, axis=-1, keepdims=True), 1e-6)
+    w = w[:, None, :]                                # [L,1,S]
+
     def stats(g):
         pos = jnp.maximum(g, 0.0)
         neg = jnp.maximum(-g, 0.0)
+
+        def wmean(x):
+            return jnp.sum(w * x, axis=-1)
+
+        def wstd(x):
+            m = wmean(x)
+            return jnp.sqrt(jnp.maximum(wmean(x * x) - m * m, 0.0))
+
         return jnp.stack(
-            [
-                jnp.mean(pos, axis=-1),
-                jnp.mean(neg, axis=-1),
-                jnp.std(pos, axis=-1),
-                jnp.std(neg, axis=-1),
-            ],
+            [wmean(pos), wmean(neg), wstd(pos), wstd(neg)],
             axis=-1,
         )  # [L, N_BANDS, 4]
 

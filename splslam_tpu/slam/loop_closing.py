@@ -534,7 +534,7 @@ class LoopCloser:
         if sys.step is not None:
             sys.step = sys.step._replace(
                 lm_xyz=sys.map.pts.xyz[jnp.clip(sys.step.lm_gid, 0)],
-                ll_mid=sys.map.lns.xyz[jnp.clip(sys.step.ll_gid, 0), 1],
+                ll_xyz3=sys.map.lns.xyz[jnp.clip(sys.step.ll_gid, 0)],
             )
 
     # ------------------------------------------------------------------

@@ -1146,13 +1146,29 @@ def apply_ba_result(
     return st
 
 
+def assert_map_live(st, caller: str) -> None:
+    """Fail fast with a clear message when a DONATED map buffer is
+    reused. mapping_step/add_keyframe_step donate their map argument;
+    re-invoking with the pre-donation buffers otherwise surfaces as an
+    opaque backend InvalidArgument from the device tunnel."""
+    for leaf in jax.tree.leaves(st):
+        if hasattr(leaf, "is_deleted") and leaf.is_deleted():
+            raise RuntimeError(
+                f"{caller}: map argument holds donated (deleted) device "
+                "buffers — it was already consumed by a previous "
+                "mapping_step/add_keyframe_step dispatch. Use the map "
+                "returned by that call (or jax.tree.map(jnp.copy, m) "
+                "before dispatch if you need to keep the old one)."
+            )
+
+
 @partial(
     jax.jit,
     static_argnames=("scale_factor", "n_levels", "ba_rounds", "ba_iters",
                      "th_obs", "with_lines"),
     donate_argnames=("st",),
 )
-def mapping_step(
+def _mapping_step(
     st: MapState,
     kf: jax.Array,
     cam: Camera,
@@ -1214,3 +1230,10 @@ def mapping_step(
         ]
     )
     return st, stats
+
+
+def mapping_step(st, kf, cam, scales, **kw):
+    """Liveness-guarded entry for the fused per-keyframe mapping program
+    (see _mapping_step); the map argument is DONATED."""
+    assert_map_live(st, "mapping_step")
+    return _mapping_step(st, kf, cam, scales, **kw)

@@ -320,7 +320,7 @@ def create_initial_map(
         lm_gid=lm2_f,
         lm_xyz=st.pts.xyz[jnp.clip(lm2_f, 0)],
         ll_gid=ll2,
-        ll_mid=st.lns.xyz[lsafe, 1],
+        ll_xyz3=st.lns.xyz[lsafe],
         ll_len=st.lns.avg_len2d[lsafe],
     )
     stats = jnp.stack([

@@ -57,7 +57,7 @@ class StepState(NamedTuple):
     Tcw: jax.Array       # (4,4)
     velocity: jax.Array  # (4,4) Tcw_i @ inv(Tcw_{i-1})
     ll_gid: jax.Array    # [L] map-line id per line feature (-1 none)
-    ll_mid: jax.Array    # [L,3] cached map-line midpoints (world)
+    ll_xyz3: jax.Array   # [L,3,3] cached map-line start/mid/end (world)
     ll_len: jax.Array    # [L] map-line average 2D lengths
 
     @staticmethod
@@ -71,7 +71,7 @@ class StepState(NamedTuple):
             Tcw=Tcw,
             velocity=jnp.eye(4),
             ll_gid=jnp.full((l,), -1, jnp.int32),
-            ll_mid=jnp.zeros((l, 3)),
+            ll_xyz3=jnp.zeros((l, 3, 3)),
             ll_len=jnp.zeros((l,)),
         )
 
@@ -305,7 +305,7 @@ def _track_body(frame, map_state, prev, th_depth_m, ref_kf, cam, scales,
         prev.frame.feat.bits,
         last_xyz, last_gid,
         T_pred, win,
-        prev.frame.lines, prev.ll_gid, prev.ll_mid, prev.ll_len,
+        prev.frame.lines, prev.ll_gid, prev.ll_xyz3, prev.ll_len,
         lwin,
         scale_factor=scale_factor, n_levels=n_levels,
     )
@@ -368,7 +368,7 @@ def _track_body(frame, map_state, prev, th_depth_m, ref_kf, cam, scales,
         Tcw=res.Tcw,
         velocity=velocity,
         ll_gid=res.ll_gid,
-        ll_mid=map_state.lns.xyz[lsafe, 1],
+        ll_xyz3=map_state.lns.xyz[lsafe],
         ll_len=map_state.lns.avg_len2d[lsafe],
     )
     return map_state, new_state, (stats, res.visible_ids, res.found_ids)
@@ -499,7 +499,7 @@ def vo_batch_step_mono(
     static_argnames=("spec", "scale_factor", "n_levels", "max_new", "is_stereo"),
     donate_argnames=("map_state",),
 )
-def add_keyframe_step(
+def _add_keyframe_step(
     map_state: MapState,
     state: StepState,
     frame_id: jax.Array,
@@ -538,6 +538,17 @@ def add_keyframe_step(
         lm_xyz=map_state.pts.xyz[jnp.clip(lm_gid, 0)],
     )
     return map_state, new_state, out
+
+
+def add_keyframe_step(map_state, state, frame_id, ts, depth_limit, cam,
+                      spec, **kw):
+    """Liveness-guarded entry for fused keyframe insertion (see
+    _add_keyframe_step); the map argument is DONATED."""
+    from splslam_tpu.slam.mapping_ops import assert_map_live
+
+    assert_map_live(map_state, "add_keyframe_step")
+    return _add_keyframe_step(map_state, state, frame_id, ts, depth_limit,
+                              cam, spec, **kw)
 
 
 def vo_frame_step_rgbd(

@@ -41,11 +41,13 @@ def _load_vocab(path: str | None):
             os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
             "assets",
         )
-        # 10^4-word true-idf vocabulary (scripts/train_vocab.py); the
-        # 10^3-word one remains as a fast fallback for tiny tests.
-        path = os.path.join(assets, "vocab_10k.npz")
-        if not os.path.exists(path):
-            path = os.path.join(assets, "vocab_small.npz")
+        # Largest bundled true-idf vocabulary first: 10^5 words (k=10,
+        # L=5, scripts/train_vocab.py — the reference ships ~10^6, k=10,
+        # L=6); the smaller ones remain as fast fallbacks for tiny tests.
+        for name in ("vocab_100k.npz", "vocab_10k.npz", "vocab_small.npz"):
+            path = os.path.join(assets, name)
+            if os.path.exists(path):
+                break
     if path not in _VOCAB_CACHE:
         if path.endswith(".txt"):
             _VOCAB_CACHE[path] = V.load_orbslam_txt(path)
@@ -690,7 +692,7 @@ class System:
                     Tcw=Tcw,
                     velocity=jnp.eye(4),
                     ll_gid=ll_gid,
-                    ll_mid=self.map.lns.xyz[jnp.clip(ll_gid, 0), 1],
+                    ll_xyz3=self.map.lns.xyz[jnp.clip(ll_gid, 0)],
                     ll_len=self.map.lns.avg_len2d[jnp.clip(ll_gid, 0)],
                 )
                 # Don't rewind the live tracker if newer frames were

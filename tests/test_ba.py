@@ -3,6 +3,7 @@ mapping step (slam/mapping_ops.py) against synthetic geometry."""
 
 import numpy as np
 import jax.numpy as jnp
+import pytest
 
 from splslam_tpu.geometry.camera import Camera
 from splslam_tpu.optim.ba import BAProblem, ba_solve
@@ -321,6 +322,7 @@ def test_ba_arbitrated_matches_reference_shape():
     assert np.median(r1) < 0.3 * np.median(r0), (np.median(r0), np.median(r1))
 
 
+@pytest.mark.slow
 def test_mapping_step_moves_lines():
     """With line edges in local BA, perturbed map-line endpoints move
     under mapping_step (the round-1 gap: lines never optimized after

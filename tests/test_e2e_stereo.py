@@ -173,6 +173,7 @@ class TestStereoVO:
 
 
 class TestStereoCorridor:
+    @pytest.mark.slow
     def test_corridor_tracks_with_mapping(self):
         """Stereo on the non-planar corridor: continuous depth range
         (0.5..24 units) through stereo match, triangulation, and local

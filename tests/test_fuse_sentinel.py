@@ -103,3 +103,20 @@ def test_fuse_neighbor_lines_no_hits_leaves_rows_untouched():
     after = np.asarray(out.kfs.ll_idx)
     assert after[1, -1] == 3, "last-slot line canary was clobbered"
     np.testing.assert_array_equal(after, before)
+
+
+def test_donated_map_guard_raises_clearly():
+    """Re-invoking mapping_step/add_keyframe_step with an already-donated
+    map must raise a clear RuntimeError, not an opaque backend
+    InvalidArgument (round-2 VERDICT weak #10)."""
+    import jax
+    import pytest
+    from splslam_tpu.slam.mapping_ops import assert_map_live
+
+    x = jnp.zeros((8,))
+    y = jax.jit(lambda a: a * 2.0, donate_argnums=0)(x)
+    jax.block_until_ready(y)
+    assert_map_live((y,), "mapping_step")  # live buffers pass
+    if x.is_deleted():  # donation is backend-dependent; guard the assert
+        with pytest.raises(RuntimeError, match="donated"):
+            assert_map_live((x, y), "mapping_step")
