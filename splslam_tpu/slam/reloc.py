@@ -255,7 +255,19 @@ def reloc_attempt(
         # EPnL when EPnP fails, :3160-3235).
         use_lines = (n0 < 12) & (nL >= 6) & (2 * nL > n0)
         T0 = jnp.where(use_lines, TL, T0)
-        inl0 = jnp.where(use_lines, has, inl0)  # let GN re-gate points
+        # Under a line seed, points re-enter the joint GN only if they
+        # REPROJECT consistently under that seed (loose 3x chi2 gate) — a
+        # blanket reset to all-inliers would let a bad line seed plus a
+        # permissive point set drag the GN to a wrong basin; a wrong seed
+        # now keeps ~zero point support and the attempt dies at the >= 50
+        # acceptance gate instead of relocalizing confidently wrong.
+        uvL, zL = _project_pts(TL, cam, assoc_xyz)
+        chiL = (
+            jnp.sum((uvL - frame.feat.xy) ** 2, axis=-1)
+            / frame.feat.sigma2
+        )
+        pts_ok_under_L = has & (zL > 0.1) & (chiL <= 3.0 * 5.991)
+        inl0 = jnp.where(use_lines, pts_ok_under_L, inl0)
 
     # --- joint GN (PoseOptimizationmain after EPnP/EPnL) ---
     pts_obs = PointObs(
