@@ -57,28 +57,18 @@ def _pack_np(bits: np.ndarray) -> np.ndarray:
     return (words << np.arange(32, dtype=np.uint32)).sum(-1).astype(np.uint32)
 
 
-def _kmedians(bits: np.ndarray, k: int, rng, iters: int = 8) -> np.ndarray:
-    """Binary k-medians (majority-vote medoids) -> [k,256] u8 centers."""
-    n = bits.shape[0]
-    if n == 0:
-        return rng.integers(0, 2, size=(k, 256)).astype(np.uint8)
-    centers = bits[rng.choice(n, size=min(k, n), replace=False)]
-    if centers.shape[0] < k:
-        extra = rng.integers(0, 2, size=(k - centers.shape[0], 256))
-        centers = np.concatenate([centers, extra.astype(np.uint8)])
-    for _ in range(iters):
-        d = (bits[:, None, :] != centers[None]).sum(-1)  # [n,k] Hamming
-        a = d.argmin(1)
-        for c in range(k):
-            sel = bits[a == c]
-            if len(sel):
-                centers[c] = (sel.mean(0) >= 0.5).astype(np.uint8)
-    return centers
-
-
 def train(descriptors: np.ndarray, k: int = 10, depth: int = 3,
-          seed: int = 0, image_ids: np.ndarray | None = None) -> "Vocab":
-    """Train a k^depth-word vocabulary from [N,8] u32 descriptors.
+          seed: int = 0, image_ids: np.ndarray | None = None,
+          iters: int = 8, verbose: bool = False) -> "Vocab":
+    """Train a k^depth-word vocabulary from [N,8] u32 descriptors by
+    hierarchical binary k-medians (majority-vote medoids — the analog of
+    DBoW2's offline k-means++ on the FORB mean/distance).
+
+    Fully vectorized: distances are packed-uint64 XOR + popcount
+    (np.bitwise_count) over all N descriptors at once per Lloyd
+    iteration, and medoid votes are 256 weighted bincounts — a 10^5-word
+    (k=10, depth=5) vocabulary trains from ~500k descriptors in a few
+    minutes on host numpy, vs hours for a per-parent Python loop.
 
     `image_ids` ([N] int, which image each descriptor came from) enables
     the TRUE DBoW2 idf weight idf(w) = log(N_images / N_images(w))
@@ -86,23 +76,59 @@ def train(descriptors: np.ndarray, k: int = 10, depth: int = 3,
     image proxy stands in (fine for the bundled toy vocabulary, wrong
     for serious retrieval — pass image_ids when training at scale)."""
     rng = np.random.default_rng(seed)
-    bits = _unpack_np(np.asarray(descriptors, np.uint32))
-    # level l: k^(l+1) nodes; assignment of samples refined level by level
+    desc_u32 = np.ascontiguousarray(np.asarray(descriptors, np.uint32))
+    N = desc_u32.shape[0]
+    u64 = desc_u32.view(np.uint64)              # [N,4]
+    bits = _unpack_np(desc_u32)                 # [N,256] u8 (medoid votes)
     level_desc = []
-    assign = np.zeros(bits.shape[0], np.int64)  # node id at current level
+    assign = np.zeros(N, np.int64)              # parent node per sample
+    CHUNK = 1 << 17
     for l in range(depth):
+        n_par = k ** l
         n_nodes = k ** (l + 1)
-        centers = np.zeros((n_nodes, 256), np.uint8)
-        new_assign = np.zeros_like(assign)
-        for parent in range(k ** l):
-            sel = assign == parent
-            c = _kmedians(bits[sel], k, rng)
-            centers[parent * k:(parent + 1) * k] = c
-            if sel.any():
-                d = (bits[sel][:, None, :] != c[None]).sum(-1)
-                new_assign[sel] = parent * k + d.argmin(1)
-        assign = new_assign
-        level_desc.append(jnp.asarray(_pack_np(centers.reshape(-1, 256))))
+        # --- init: k random members per parent (k-medians seeding) ---
+        centers_bits = rng.integers(0, 2, (n_nodes, 256)).astype(np.uint8)
+        order = np.argsort(assign, kind="stable")
+        sa = assign[order]
+        starts = np.searchsorted(sa, np.arange(n_par))
+        ends = np.searchsorted(sa, np.arange(n_par) + 1)
+        for p in range(n_par):
+            s, e = int(starts[p]), int(ends[p])
+            if e > s:
+                pick = order[s + rng.choice(e - s, size=min(k, e - s),
+                                            replace=False)]
+                centers_bits[p * k:p * k + len(pick)] = bits[pick]
+        # --- Lloyd iterations (assignment restricted to the k children
+        # of each sample's parent; fully vectorized across parents) ---
+        child = np.zeros(N, np.int64)
+        cand_base = (assign * k).astype(np.int64)
+        for _ in range(iters):
+            centers_u64 = np.ascontiguousarray(
+                _pack_np(centers_bits)).view(np.uint64)  # [n_nodes,4]
+            for c0 in range(0, N, CHUNK):
+                c1 = min(c0 + CHUNK, N)
+                cand = cand_base[c0:c1, None] + np.arange(k)[None, :]
+                d = np.bitwise_count(
+                    u64[c0:c1, None, :] ^ centers_u64[cand]
+                ).sum(-1)                                # [n,k]
+                child[c0:c1] = cand[np.arange(c1 - c0), d.argmin(1)]
+            # recenter: majority bit per cluster
+            cnt = np.bincount(child, minlength=n_nodes)
+            sums = np.empty((n_nodes, 256), np.int64)
+            for b in range(256):
+                sums[:, b] = np.bincount(
+                    child, weights=bits[:, b], minlength=n_nodes
+                )
+            live = cnt > 0
+            centers_bits[live] = (
+                sums[live] * 2 >= cnt[live, None]
+            ).astype(np.uint8)
+        assign = child
+        if verbose:
+            occ = int((np.bincount(assign, minlength=n_nodes) > 0).sum())
+            print(f"  level {l + 1}/{depth}: {occ}/{n_nodes} nodes "
+                  f"occupied", flush=True)
+        level_desc.append(jnp.asarray(_pack_np(centers_bits)))
     W = k ** depth
     if image_ids is not None:
         img = np.asarray(image_ids, np.int64)

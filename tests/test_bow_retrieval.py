@@ -1,0 +1,107 @@
+"""BoW retrieval discrimination at map scale (VERDICT round-2 item 6):
+200+ keyframe places, revisit queries, top-1 precision and score
+separation. The round-2 vocabulary's behavior at realistic map sizes was
+an article of faith; this measures it.
+
+Protocol: 110 distinct places along a long lateral track over a textured
+plane (adjacent places overlap like consecutive keyframes); each place
+revisited from a 0.1-unit offset + 1.5deg yaw. What loop detection
+needs from BoW is that a revisit NEVER scores a far place above the
+true neighborhood (a false loop is catastrophic; retrieving the
+neighbor of the true place is harmless — Sim3 verification aligns
+against whichever covisible keyframe is retrieved, reference
+LoopClosing.cc:245-389). At 0.55-unit spacing over a z=3..7 plane a
+320px/200fx view spans ~4.8 units, so +-1 places share ~88%% of the
+view and +-2 share ~77%% — both are the true neighborhood; the gates
+are (a) ZERO far retrievals, (b) near-precision, (c) own/far score
+separation."""
+
+import os
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+pytestmark = pytest.mark.slow
+
+from splslam_tpu.bow import vocabulary as V
+from splslam_tpu.io.synthetic import PlaneScene, make_texture
+from splslam_tpu.ops.orb import extract_orb
+from splslam_tpu.ops.pyramid import PyramidSpec
+
+W, H, FX = 320, 240, 200.0
+N_PLACES = 110
+
+
+def _views():
+    K = np.array([[FX, 0, W / 2], [0, FX, H / 2], [0, 0, 1]], np.float32)
+    scene = PlaneScene(make_texture(seed=42, size=4096), z0=3.0, z1=7.0,
+                       px_per_unit=40.0)
+    spec = PyramidSpec.create(H, W, n_features=500, n_levels=4)
+    originals, revisits = [], []
+    th = np.deg2rad(1.5)
+    Ry = np.array([[np.cos(th), 0, np.sin(th)], [0, 1, 0],
+                   [-np.sin(th), 0, np.cos(th)]], np.float32)
+    for i in range(N_PLACES):
+        Twc = np.eye(4)
+        Twc[0, 3] = 0.55 * i
+        originals.append(scene.render(K, Twc, H, W))
+        Twc2 = Twc.copy()
+        Twc2[:3, :3] = Ry
+        Twc2[0, 3] += 0.1
+        Twc2[1, 3] += 0.05
+        revisits.append(scene.render(K, Twc2, H, W))
+    return spec, originals, revisits
+
+
+def _bow_rows(voc, spec, images):
+    rows = []
+    for img in images:
+        f = extract_orb(jnp.asarray(img, jnp.float32), spec)
+        rows.append(np.asarray(V.query_bow(
+            voc.level_desc, voc.weights, voc.k, voc.depth,
+            f.desc, f.valid,
+        )))
+    return np.stack(rows)
+
+
+def _load_best_vocab():
+    assets = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "splslam_tpu", "assets",
+    )
+    for name in ("vocab_100k.npz", "vocab_10k.npz"):
+        p = os.path.join(assets, name)
+        if os.path.exists(p):
+            return V.load(p), name
+    pytest.skip("no bundled vocabulary")
+
+
+def test_top1_retrieval_precision_at_map_scale():
+    voc, name = _load_best_vocab()
+    spec, originals, revisits = _views()
+    db = _bow_rows(voc, spec, originals)       # [P, W]
+    q = _bow_rows(voc, spec, revisits)         # [P, W]
+    # L1 score s(v,w) = sum min(v,w) for L1-normalized rows
+    scores = np.minimum(db[None, :, :], q[:, None, :]).sum(-1)  # [P,P]
+    top1 = scores.argmax(1)
+    off = top1 - np.arange(N_PLACES)
+    p1 = (np.abs(off) <= 1).mean()
+    p2 = (np.abs(off) <= 2).mean()
+    far_misses = int((np.abs(off) > 3).sum())
+    # separation: own-place score vs best FAR place (|i-j| > 3)
+    own = scores[np.arange(N_PLACES), np.arange(N_PLACES)]
+    far = scores.copy()
+    for d in range(-3, 4):
+        idx = np.arange(N_PLACES)
+        j = idx + d
+        ok = (j >= 0) & (j < N_PLACES)
+        far[idx[ok], j[ok]] = -1
+    sep = own / np.maximum(far.max(1), 1e-9)
+    print(f"\n[{name}] top-1 precision +-1: {p1:.3f}, +-2: {p2:.3f}; "
+          f"far misses: {far_misses}/{N_PLACES}; "
+          f"median own/far separation: {np.median(sep):.2f}")
+    assert far_misses == 0, (far_misses, off[np.abs(off) > 3])
+    assert p2 >= 0.95, p2
+    assert p1 >= 0.70, p1
+    assert np.median(sep) > 1.1, np.median(sep)
