@@ -1,12 +1,17 @@
-"""Mapping benchmark: Local BA ms/keyframe + per-stage rows (SURVEY §6.2).
+"""Per-stage benchmark: ALL ten §6 rows (SURVEY §6.2) + Local BA headline.
 
 The reference reports per-stage averages with these row names (its
 测试报告 tables 2-4; BASELINE.md): Feature extraction / Initial pose
 tracking / Track local map / Tracking total / KeyFrame insertion / Map
 feature culling / Map features creation / Local BA per keyframe /
-KeyFrame culling / Mapping total per keyframe. This harness measures the
-mapping-side rows on a realistic map (built by tracking a KITTI-sized
-synthetic sequence) by dispatching each fused stage as its own program.
+KeyFrame culling / Mapping total per keyframe.
+
+The map is constructed DIRECTLY with reference-like densities
+(splslam_tpu/io/synth_map.py: 12 KFs, 2000 features/KF, forward-motion
+covisibility band) instead of being built by tracking a sequence — every
+stage program is fixed-shape, so stage timing depends on table sizes and
+observation density, not provenance, and the bench reaches its first
+timed row in seconds instead of minutes.
 
 Prints ONE JSON line for the headline metric (Local BA ms/KF vs the
 reference's 117.22 ms on KITTI) plus a stderr table with the §6 names.
@@ -26,6 +31,7 @@ os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "2")
 
 BASELINE_LOCAL_BA_MS = 117.22  # reference KITTI Local BA / keyframe
 KITTI_W, KITTI_H = 1241, 376
+N_FEAT = 2000
 
 
 def main() -> None:
@@ -33,44 +39,45 @@ def main() -> None:
     import jax.numpy as jnp
     from functools import partial
 
-    from splslam_tpu.io.synthetic import make_stereo_sequence
-    from splslam_tpu.slam.system import Sensor, Settings, System
+    from splslam_tpu.geometry.camera import Camera
+    from splslam_tpu.io.synth_map import make_synthetic_map
     from splslam_tpu.slam import mapping_ops as MO
     from splslam_tpu.optim.ba import ba_solve
 
-    n_frames = 48
-    K, bf, frames, gt = make_stereo_sequence(
-        n_frames=n_frames, width=KITTI_W, height=KITTI_H,
-        fx=718.0, baseline=0.54, motion="forward", seed=3,
+    fx, baseline = 718.0, 0.54
+    t_build0 = time.perf_counter()
+    mst, frame, step, Tcw_next = make_synthetic_map(
+        n_kfs=12, n_feat=N_FEAT, width=KITTI_W, height=KITTI_H,
+        fx=fx, baseline=baseline,
     )
-    st = Settings(
-        fx=float(K[0, 0]), fy=float(K[1, 1]), cx=float(K[0, 2]),
-        cy=float(K[1, 2]), bf=float(bf), width=KITTI_W, height=KITTI_H,
-        # fps=4 makes the c1a condition (frames_since_kf >= fps) insert a
-        # keyframe every ~4 frames, so the measured map has a populated
-        # covisibility 1-ring (the real KITTI cadence) instead of the
-        # 1-2 keyframes that easy synthetic tracking would produce.
-        n_features=2000, n_levels=8, th_depth=35.0, fps=4.0,
-        max_points=65536, max_keyframes=256, local_window=2048,
-        enable_local_mapping=True, min_kf_gap=4,
-    )
-    sysm = System(st, Sensor.STEREO)
-    # Easy synthetic tracking keeps n_in ~= ref_matches, so the faithful
-    # NeedNewKeyFrame policy (correctly) inserts almost nothing; the
-    # benchmark needs a populated covisibility 1-ring, so force the
-    # KITTI keyframe cadence (~every 4 frames) for the build phase only.
-    sysm._need_new_keyframe = (
-        lambda stats, n_in: sysm.frames_since_kf >= 4 and sysm.n_kfs < 12
-    )
-    for i, (l, r) in enumerate(frames):
-        sysm.track_stereo(l, r, i * 0.1)
-    sysm.drain()
-    mst = sysm.map
-    cam = sysm.cam
-    scales = sysm.scales
+    cam = Camera.create(fx, fx, KITTI_W / 2.0, KITTI_H / 2.0,
+                        bf=fx * baseline, width=KITTI_W, height=KITTI_H)
+    scales = jnp.asarray([1.2 ** i for i in range(8)], jnp.float32)
+    mst = jax.device_put(mst)
+    frame = jax.device_put(frame)
+    step = jax.device_put(step)
+    jax.block_until_ready(mst.pts.xyz)
     kf = jnp.int32(int(mst.n_kfs) - 1)
-    print(f"map: {int(mst.n_kfs)} keyframes, "
-          f"{int(np.asarray(mst.pts.valid).sum())} points", file=sys.stderr)
+    print(f"synthetic map: {int(mst.n_kfs)} keyframes, "
+          f"{int(np.asarray(mst.pts.valid).sum())} points "
+          f"(built in {time.perf_counter()-t_build0:.1f}s)", file=sys.stderr)
+
+    # Dispatch+fetch RPC floor of the attachment (a tunnel-attached chip
+    # pays ~25-30 ms per blocking cycle; PCIe-attached would pay ~0).
+    # Every row below contains one such cycle — the floor-corrected
+    # column is the device-side cost a production deployment sees.
+    @jax.jit
+    def _tiny(x):
+        return x + 1
+
+    _tiny(jnp.float32(0)).block_until_ready()
+    t0 = time.perf_counter()
+    n_floor = 20
+    for i in range(n_floor):
+        np.asarray(_tiny(jnp.float32(i)))
+    rpc_floor = (time.perf_counter() - t0) / n_floor * 1000
+    print(f"{'(dispatch+fetch RPC floor)':32s} {rpc_floor:8.2f} ms",
+          file=sys.stderr)
 
     def timeit(name, fn, n=10):
         r = fn()
@@ -83,11 +90,97 @@ def main() -> None:
             r = fn()
             np.asarray(jax.tree.leaves(r)[0])
         ms = (time.perf_counter() - t0) / n * 1000
-        print(f"{name:32s} {ms:8.2f} ms", file=sys.stderr)
+        print(f"{name:32s} {ms:8.2f} ms   "
+              f"({max(ms - rpc_floor, 0.0):7.2f} ms device-side)",
+              file=sys.stderr)
         return ms
 
-    # --- stage programs (each jitted standalone; the production path
-    # fuses them into mapping_step — these isolate the §6 rows) ---
+    rows = {}
+
+    # ================= tracking-side §6 rows =================
+    # Feature extraction: the real extractor on a real KITTI-sized pair
+    # (reference row 1, src/Tracking.cc:381-413 around the Frame ctor).
+    from splslam_tpu.io.synthetic import PlaneScene, make_texture
+    from splslam_tpu.ops.pyramid import PyramidSpec
+    from splslam_tpu.slam import pipeline as P
+
+    scene = PlaneScene(make_texture(seed=1), z0=8.0, z1=25.0)
+    K3 = np.array([[fx, 0, KITTI_W / 2], [0, fx, KITTI_H / 2], [0, 0, 1]],
+                  np.float32)
+    Twc = np.eye(4)
+    imgL = scene.render(K3, Twc, KITTI_H, KITTI_W)
+    Twc_r = Twc.copy()
+    Twc_r[0, 3] += baseline
+    imgR = scene.render(K3, Twc_r, KITTI_H, KITTI_W)
+    pair = jax.device_put(
+        np.stack([imgL, imgR]).astype(np.uint8)[None]  # [1,2,H,W]
+    )
+    spec = PyramidSpec.create(KITTI_H, KITTI_W, n_levels=8,
+                              scale_factor=1.2, n_features=N_FEAT)
+    rows["Feature extraction"] = timeit(
+        "Feature extraction",
+        lambda: P.build_frames_batch(pair, cam, spec, line_capacity=1),
+    )
+
+    # Initial pose tracking: motion-model projection match + pose GN
+    # (reference row 2: SearchByProjection + PoseOptimization).
+    from splslam_tpu.slam import tracking as T
+    from splslam_tpu.optim.pose_gn import LineObs, PointObs, pose_optimize
+
+    @jax.jit
+    def stage_init_pose(fr, stp):
+        T_pred = stp.velocity @ stp.Tcw
+        mm, _ = T.motion_model_match(
+            cam, scales, T_pred, fr, stp.frame.feat.xy,
+            stp.frame.feat.octave, stp.frame.feat.angle,
+            stp.frame.feat.bits, stp.lm_xyz, stp.lm_gid != -1, 7.0,
+        )
+        N = fr.feat.capacity
+        rows_ok = mm >= 0
+        cols = jnp.where(rows_ok, mm, N)
+        gid = jnp.full((N,), -1, jnp.int32).at[cols].set(
+            jnp.where(rows_ok, stp.lm_gid, -1), mode="drop")
+        axyz = jnp.zeros((N, 3)).at[cols].set(stp.lm_xyz, mode="drop")
+        obs = PointObs(xyz_w=axyz, uv=fr.feat.xy,
+                       inv_sigma2=1.0 / fr.feat.sigma2, mask=gid != -1)
+        res = pose_optimize(T_pred, cam, obs, LineObs.empty(1))
+        return res.Tcw, gid
+
+    rows["Initial pose tracking"] = timeit(
+        "Initial pose tracking", lambda: stage_init_pose(frame, step))
+
+    # Track local map: covisible-window frustum match + pose GN
+    # (reference row 3: UpdateLocalMap/SearchLocalPoints/PoseOptimization).
+    @jax.jit
+    def stage_track_local(m, fr, stp):
+        win = P.assemble_local_window(m, stp.lm_gid, 2048)
+        mt, vis, _ = T.local_map_match(
+            cam, scales, stp.Tcw, fr, win, stp.lm_gid != -1, 1.2, 8,
+        )
+        N = fr.feat.capacity
+        ok = mt >= 0
+        cols = jnp.where(ok, mt, N)
+        gid = stp.lm_gid.at[cols].set(
+            jnp.where(ok, win.ids, -1), mode="drop")
+        axyz = stp.lm_xyz.at[cols].set(win.xyz, mode="drop")
+        obs = PointObs(xyz_w=axyz, uv=fr.feat.xy,
+                       inv_sigma2=1.0 / fr.feat.sigma2, mask=gid != -1)
+        res = pose_optimize(stp.Tcw, cam, obs, LineObs.empty(1))
+        return res.Tcw, gid
+
+    rows["Track local map"] = timeit(
+        "Track local map", lambda: stage_track_local(mst, frame, step))
+
+    rows["Tracking total (sum of rows)"] = (
+        rows["Feature extraction"] + rows["Initial pose tracking"]
+        + rows["Track local map"]
+    )
+    print(f"{'Tracking total (sum of rows)':32s} "
+          f"{rows['Tracking total (sum of rows)']:8.2f} ms "
+          f"(bench.py measures the amortized batched number)",
+          file=sys.stderr)
+
+    # ================= mapping-side §6 rows =================
     @jax.jit
     def stage_cull(m, k):
         return MO.cull_points(m, k).pts.valid
@@ -113,7 +206,6 @@ def main() -> None:
     def stage_kfcull(m, k):
         return MO.cull_keyframes(m, k).kfs.valid
 
-    rows = {}
     rows["Map feature culling"] = timeit(
         "Map feature culling", lambda: stage_cull(mst, kf))
     rows["Map features creation"] = timeit(
@@ -138,21 +230,46 @@ def main() -> None:
         return stats
     rows["Mapping total / keyframe"] = timeit(
         "Mapping total / keyframe", full, n=n_rep)
-    # KeyFrame insertion: the tracker-side fused program.
-    from splslam_tpu.slam import pipeline as P
 
     pool2 = [jax.tree.map(jnp.copy, mst) for _ in range(n_rep + 1)]
     jax.block_until_ready(pool2)
 
     def kf_insert():
         m2, s2, out = P.add_keyframe_step(
-            pool2.pop(), sysm.step,
+            pool2.pop(), step,
             jnp.int32(999), jnp.float32(99.9),
-            jnp.float32(35.0 * float(bf) / float(K[0, 0])), cam, sysm.spec,
+            jnp.float32(35.0 * baseline), cam, spec,
         )
         return out
     rows["KeyFrame insertion"] = timeit(
         "KeyFrame insertion", kf_insert, n=n_rep)
+
+    # ============== combined tracking + mapping overlap ==============
+    # The reference's tracking and mapping rows run on CONCURRENT threads;
+    # here mapping is an async device dispatch. Measure a realistic
+    # cadence: dispatch mapping_step, then immediately run 8 tracking
+    # frames, fetch both — wall/frame shows the overlap (reference: the
+    # two columns of §6 simply coexist).
+    pool3 = [jax.tree.map(jnp.copy, mst) for _ in range(4)]
+    jax.block_until_ready(pool3)
+
+    def overlapped():
+        m2, stats = MO.mapping_step(pool3.pop(), kf, cam, scales)
+        outs = []
+        for _ in range(8):
+            _, gid = stage_init_pose(frame, step)
+            outs.append(gid)
+        np.asarray(stats)  # mapping result
+        np.asarray(outs[-1])
+        return stats
+
+    t0 = time.perf_counter()
+    n3 = 3
+    for _ in range(n3):
+        overlapped()
+    per_frame = (time.perf_counter() - t0) / n3 / 8 * 1000
+    print(f"{'Tracking+mapping overlapped':32s} {per_frame:8.2f} "
+          f"ms/frame (mapping async behind 8 frames)", file=sys.stderr)
 
     ms = rows["Local BA / keyframe"]
     print(json.dumps({
