@@ -153,8 +153,18 @@ def make_stereo_sequence(
     texture: str = "blobs",
     scene: str = "planes",
     speed: float = 1.0,
+    lighting_drift: float = 0.0,
 ):
-    """Returns (K, bf, list[(imgL, imgR)], gt_Twc [F,4,4])."""
+    """Returns (K, bf, list[(imgL, imgR)], gt_Twc [F,4,4]).
+
+    motion="tour": a parity-grade trajectory for long-sequence ATE
+    validation — lateral sweep out, a rotation-dominant 180-degree yaw
+    turn over ~40 frames (near-zero translation, the case that breaks
+    motion-model-only trackers), a sweep back over the SAME scene
+    (revisit: exercises re-matching against old landmarks and loop
+    closure), and a final settle. `lighting_drift` scales frame
+    brightness by 1 +- drift * sin over the run (the reference's TUM
+    sequences have exposure drift; descriptors must survive it)."""
     K = np.array([[fx, 0, width / 2], [0, fx, height / 2], [0, 0, 1]], np.float32)
     tex = make_grid_texture(seed=seed) if texture == "grid" else make_texture(seed=seed)
     scene_obj = (CorridorScene(tex) if scene == "corridor"
@@ -162,26 +172,75 @@ def make_stereo_sequence(
     scene = scene_obj
     poses = []
     frames = []
-    for i in range(n_frames):
-        Twc = np.eye(4)
-        if motion == "lateral":
-            Twc[0, 3] = 0.04 * speed * i
-            Twc[1, 3] = 0.01 * np.sin(i * 0.3)
-        elif motion == "forward":
-            Twc[2, 3] = 0.03 * speed * i
-            Twc[0, 3] = 0.01 * speed * i
-        else:  # arc
-            th = 0.01 * i
-            c, s = np.cos(th), np.sin(th)
-            Twc[:3, :3] = np.array([[c, 0, s], [0, 1, 0], [-s, 0, c]])
-            Twc[0, 3] = 0.05 * speed * i
-        poses.append(Twc.copy())
+
+    def _yaw(th):
+        c, s = np.cos(th), np.sin(th)
+        return np.array([[c, 0, s], [0, 1, 0], [-s, 0, c]])
+
+    if motion == "tour":
+        # piecewise schedule in fractions of n_frames:
+        # 0-40% lateral out, 40-55% yaw turn in place (rotation-dominant),
+        # 55-95% travel back (now facing the scene after a 2*beta yaw,
+        # moving -x), 95-100% settle.
+        n1 = int(n_frames * 0.40)
+        n2 = int(n_frames * 0.15)
+        n3 = int(n_frames * 0.40)
+        n4 = n_frames - n1 - n2 - n3
+        beta = 0.35  # half-turn amplitude, rad (keeps the plane in view)
+        x = 0.0
+        sched = []
+        for i in range(n1):
+            x = 0.04 * speed * i
+            sched.append((x, 0.01 * np.sin(i * 0.3), 0.0))
+        x_end = x
+        for j in range(n2):
+            f = (j + 1) / n2
+            sched.append((x_end + 0.01 * np.sin(np.pi * f), 0.0,
+                          2.0 * beta * f))
+        for j in range(n3):
+            sched.append((x_end - 0.04 * speed * j, 0.01 * np.cos(j * 0.3),
+                          2.0 * beta))
+        x_back = sched[-1][0]
+        for j in range(n4):
+            sched.append((x_back, 0.0, 2.0 * beta * (1.0 - (j + 1) / n4)))
+        for i, (tx, ty, yaw) in enumerate(sched):
+            Twc = np.eye(4)
+            Twc[:3, :3] = _yaw(yaw - beta)  # center the turn on the scene
+            Twc[0, 3] = tx
+            Twc[1, 3] = ty
+            poses.append(Twc)
+    else:
+        for i in range(n_frames):
+            Twc = np.eye(4)
+            if motion == "lateral":
+                Twc[0, 3] = 0.04 * speed * i
+                Twc[1, 3] = 0.01 * np.sin(i * 0.3)
+            elif motion == "forward":
+                Twc[2, 3] = 0.03 * speed * i
+                Twc[0, 3] = 0.01 * speed * i
+            else:  # arc
+                th = 0.01 * i
+                Twc[:3, :3] = _yaw(th)
+                Twc[0, 3] = 0.05 * speed * i
+            poses.append(Twc.copy())
+    for i, Twc in enumerate(poses):
+        gain = 1.0 + lighting_drift * np.sin(2.0 * np.pi * i / max(n_frames, 1))
         imgL = scene.render(K, Twc, height, width)
         Twc_r = Twc.copy()
         Twc_r[:3, 3] = Twc[:3, 3] + Twc[:3, :3] @ np.array([baseline, 0, 0])
         imgR = scene.render(K, Twc_r, height, width)
+        if lighting_drift:
+            imgL = np.clip(imgL * gain, 0.0, 255.0)
+            imgR = np.clip(imgR * gain, 0.0, 255.0)
         frames.append((imgL, imgR))
     return K, fx * baseline, frames, np.stack(poses)
+
+
+def path_length(gt_Twc: np.ndarray) -> float:
+    """Total traversed path length (sum of inter-frame translation norms)
+    — the denominator of the reference's drift-percentage convention."""
+    p = gt_Twc[:, :3, 3]
+    return float(np.linalg.norm(np.diff(p, axis=0), axis=-1).sum())
 
 
 def ate_rmse(est_Twc: np.ndarray, gt_Twc: np.ndarray, align: bool = True,

@@ -376,6 +376,23 @@ def ba_solve(
         dx_p = _bsum(iHpp, (-(bp + Wt_dxc))[:, None, :], -1)
         dx_p = jnp.where((lm_active & jnp.all(jnp.isfinite(dx_p), -1))[:, None],
                          dx_p, 0.0)
+        # Relative trust region on landmark steps: a mono point seen only
+        # by a rotation-dominant camera window has a near-null Hessian
+        # direction along its viewing ray; the damped solve then proposes
+        # huge moves there that barely change the cost, each LM step gets
+        # ACCEPTED on the other edges' improvement, and the point rides
+        # off exponentially until f32 overflow poisons the next Schur
+        # system (observed: NaN poses in the 300-frame tour's pure-yaw
+        # segment). Capping the step at half the point's distance to the
+        # camera-window centroid is scale-free and leaves well-
+        # conditioned updates (millimeters at meters of depth) untouched.
+        C_f = -_bsum(Tcw_all[:Cf, :3, :3].transpose(0, 2, 1),
+                     Tcw_all[:Cf, :3, 3][:, None, :], -1)     # [Cf,3]
+        centroid = jnp.mean(C_f, axis=0)
+        max_step = 0.5 * (1.0 + jnp.linalg.norm(
+            xyz_all - centroid, axis=-1, keepdims=True))
+        stepn = jnp.linalg.norm(dx_p, axis=-1, keepdims=True)
+        dx_p = dx_p * jnp.minimum(1.0, max_step / jnp.maximum(stepn, 1e-9))
 
         # Apply updates (free cameras only).
         dx_c = dx_c * p.cam_free[:Cf, None].astype(jnp.float32)
@@ -412,6 +429,13 @@ def ba_solve(
     init = ((p.Tcw, p.xyz), p.e_ok, jnp.float32(damping))
     (st, active, _), _ = jax.lax.scan(round_body, init, None, length=rounds)
     Tcw_all, xyz_all = st
+    # Final finite guard: no BA outcome may poison the map — a camera or
+    # point that ends non-finite reverts to its input (its edges are
+    # already gated out by chi2/z_ok below).
+    cam_fin = jnp.all(jnp.isfinite(Tcw_all.reshape(Tcw_all.shape[0], -1)), -1)
+    Tcw_all = jnp.where(cam_fin[:, None, None], Tcw_all, p.Tcw)
+    pt_fin = jnp.all(jnp.isfinite(xyz_all), -1)
+    xyz_all = jnp.where(pt_fin[:, None], xyz_all, p.xyz)
     _, _, _, chi2, z_ok = _edge_terms(Tcw_all, xyz_all, cam, p)
     inlier = p.e_ok & (joint_chi2(chi2, p.e_ok & z_ok) <= chi2_gate) & z_ok
     total = jnp.sum(jnp.where(inlier, chi2, 0.0))
@@ -591,6 +615,17 @@ def ba_solve_pcg(
         dx_p = jnp.where(
             (lm_active & jnp.all(jnp.isfinite(dx_p), -1))[:, None], dx_p, 0.0
         )
+        # Relative trust region on landmark steps (same rationale and
+        # form as the local solver's: near-null viewing-ray directions
+        # under rotation-dominant windows must not fly off).
+        C_all = -jnp.einsum("cji,cj->ci", Tcw_all[:, :3, :3],
+                            Tcw_all[:, :3, 3], precision=_HI)
+        centroid = jnp.sum(C_all * free_f, 0) / jnp.maximum(
+            jnp.sum(free_f), 1.0)
+        max_step = 0.5 * (1.0 + jnp.linalg.norm(
+            xyz_all - centroid, axis=-1, keepdims=True))
+        stepn = jnp.linalg.norm(dx_p, axis=-1, keepdims=True)
+        dx_p = dx_p * jnp.minimum(1.0, max_step / jnp.maximum(stepn, 1e-9))
 
         Tcw_new = jax.vmap(se3.se3_retract)(Tcw_all, dx_c)
         return (Tcw_new, xyz_all + dx_p)
@@ -610,6 +645,12 @@ def ba_solve_pcg(
     ((Tcw_all, xyz_all), active), _ = jax.lax.scan(
         round_body, ((p.Tcw, p.xyz), p.e_ok), None, length=rounds
     )
+    # Final finite guard (same contract as ba_solve): never return
+    # non-finite cameras or points into the map.
+    cam_fin = jnp.all(jnp.isfinite(Tcw_all.reshape(Tcw_all.shape[0], -1)), -1)
+    Tcw_all = jnp.where(cam_fin[:, None, None], Tcw_all, p.Tcw)
+    pt_fin = jnp.all(jnp.isfinite(xyz_all), -1)
+    xyz_all = jnp.where(pt_fin[:, None], xyz_all, p.xyz)
     _, _, _, chi2, z_ok = _edge_terms(Tcw_all, xyz_all, cam, p)
     inlier = p.e_ok & (joint_chi2(chi2, p.e_ok & z_ok) <= chi2_gate) & z_ok
     total = jnp.sum(jnp.where(inlier, chi2, 0.0))

@@ -354,15 +354,24 @@ def track_mono_impl(system, image: jax.Array, ts: float) -> np.ndarray:
             line_capacity=s.line_cap,
         )
         n_feat = int(jnp.sum(frame.feat.valid.astype(jnp.int32)))
+        n_line = int(jnp.sum(frame.lines.valid.astype(jnp.int32)))
+        use_lines = s.settings.using_line
+        # The line gates are OR'd with the point gates (reference
+        # MonocularInitializationBoth, src/Tracking.cc:1164 seeds on
+        # keys>100 || lines>80 and :1214 proceeds unless
+        # matches<=100 && lineMatches<=80): on texture-poor scenes lines
+        # ALONE carry initialization — the fr1_floor claim of the
+        # reference's Tables 5-6. Gates scaled to this detector's
+        # capacity (<=128 merged segments vs LSD's several hundred raw).
+        enough_feat = n_feat > 100 or (use_lines and n_line > 16)
         if s.mono_state is None:
-            # Need a reference frame with >100 features (reference :1018).
-            if n_feat > 100:
+            if enough_feat:
                 s.mono_state = _MonoInit(frame, ts, s.frame_id)
                 s.state = TrackingState.NOT_INITIALIZED
             s.frame_id += 1
             return s.last_Tcw_np.copy()
 
-        if n_feat <= 100:
+        if not enough_feat:
             # Lost the reference (reference :1032 deletes initializer).
             s.mono_state = None
             s.state = TrackingState.NO_IMAGES_YET
@@ -371,14 +380,12 @@ def track_mono_impl(system, image: jax.Array, ts: float) -> np.ndarray:
 
         ref = s.mono_state
         m12, n_m = match_for_initialization(ref.frame, frame)
-        use_lines = s.settings.using_line
         if use_lines:
             m12L, n_ml = match_lines_for_initialization(ref.frame, frame)
-            n_total = int(n_m) + int(n_ml)
         else:
             m12L = jnp.full((frame.lines.capacity,), -1, jnp.int32)
-            n_total = int(n_m)
-        if n_total < 70:
+            n_ml = 0
+        if int(n_m) < 70 and not (use_lines and int(n_ml) >= 14):
             # Too few matches: the current frame becomes the new reference
             # (reference :1049 re-seeds the initializer).
             s.mono_state = _MonoInit(frame, ts, s.frame_id)

@@ -1,0 +1,110 @@
+"""Parity-grade long-sequence validation (VERDICT round-2 item 5).
+
+The reference validates at ~1 cm ATE-RMSE over 14 TUM sequences
+(src/System.cc:340-540 trajectory savers feeding evo; report p.2) —
+roughly <=1% of traversed path. Earlier e2e tests here gate at 5-10% of
+travel on <=60-frame scenes; this suite closes the protocol gap on the
+synthetic scenes the environment allows:
+
+- a 300-frame "tour" (lateral sweep out, rotation-dominant ~40-frame
+  yaw turn with near-zero translation, revisit sweep back over the same
+  scene, settle) with exposure drift, gated at ATE <= 1% of the
+  traversed path length;
+- a lines-help ablation on a low-texture scene (the reference's selling
+  point, report Tables 5-6: point+line init succeeds where point-only
+  init fails on fr1_floor-like texture-poor input).
+"""
+
+import numpy as np
+import pytest
+
+pytestmark = pytest.mark.slow
+
+from splslam_tpu.io.synthetic import (
+    ate_rmse,
+    make_stereo_sequence,
+    path_length,
+)
+from splslam_tpu.slam.system import Sensor, Settings, System, TrackingState
+
+W, H = 320, 240
+
+
+def test_tour_300_frames_ate_under_1pct_of_path():
+    K, bf, frames, gt = make_stereo_sequence(
+        n_frames=300, motion="tour", width=W, height=H,
+        lighting_drift=0.1, seed=5,
+    )
+    st = Settings(
+        fx=float(K[0, 0]), fy=float(K[1, 1]), cx=float(K[0, 2]),
+        cy=float(K[1, 2]), bf=float(bf), width=W, height=H,
+        n_features=600, n_levels=4, th_depth=40.0, fps=10,
+        max_points=16384, max_keyframes=64, local_window=1024,
+        enable_local_mapping=True,
+    )
+    sysm = System(st, Sensor.STEREO)
+    for i, (l, r) in enumerate(frames):
+        sysm.track_stereo(l, r, i * 0.1)
+    sysm.drain()
+    assert sysm.get_tracking_state() == TrackingState.OK
+    assert sysm.n_kfs >= 3, sysm.n_kfs
+    assert sysm.mapper.n_steps >= 1
+    path = path_length(gt)
+    ate = ate_rmse(sysm.poses(), gt)
+    print(f"\ntour: path {path:.2f} u, ATE {ate:.4f} "
+          f"({100 * ate / path:.2f}% of path), {sysm.n_kfs} KFs")
+    assert ate <= 0.01 * path, (ate, path)
+
+
+def _low_texture_grid(seed=0):
+    """Blobs squashed to ~12% contrast + strong dark grid strokes: ORB
+    starves (few stable corners), the line detector sees clean edges —
+    the fr1_floor-like regime of the reference's Tables 5-6."""
+    from splslam_tpu.io.synthetic import make_texture
+
+    t = make_texture(seed=seed, size=2048)
+    t = 128.0 + (t - 128.0) * 0.12
+    for i in range(0, 2048, 160):
+        t[i:i + 8, :] = 30.0
+        t[:, i:i + 8] = 30.0
+    return t.astype(np.float32)
+
+
+def _run_mono_init(using_line: bool, frames, K):
+    st = Settings(
+        fx=float(K[0, 0]), fy=float(K[1, 1]), cx=float(K[0, 2]),
+        cy=float(K[1, 2]), bf=0.0, width=W, height=H,
+        n_features=500, n_levels=4, fps=10,
+        max_points=8192, max_keyframes=32, local_window=512,
+        enable_local_mapping=False,
+        using_line=using_line, line_features=64,
+    )
+    sysm = System(st, Sensor.MONOCULAR)
+    for i, img in enumerate(frames):
+        sysm.track_mono(img, i * 0.1)
+        if sysm.get_tracking_state() == TrackingState.OK:
+            return i
+    return None
+
+
+def test_ablation_lines_rescue_low_texture_mono_init():
+    from splslam_tpu.io.synthetic import PlaneScene
+
+    tex = _low_texture_grid(seed=0)
+    scene = PlaneScene(tex, z0=3.0, z1=None, px_per_unit=60.0)
+    K = np.array([[200.0, 0, W / 2], [0, 200.0, H / 2], [0, 0, 1]],
+                 np.float32)
+    frames = []
+    for i in range(14):
+        Twc = np.eye(4)
+        Twc[0, 3] = 0.06 * i
+        Twc[1, 3] = 0.01 * np.sin(i)
+        frames.append(scene.render(K, Twc, H, W))
+
+    with_lines = _run_mono_init(True, frames, K)
+    without = _run_mono_init(False, frames, K)
+    print(f"\nmono init on low-texture grid: with lines -> frame "
+          f"{with_lines}, points-only -> frame {without}")
+    assert with_lines is not None, "point+line init failed entirely"
+    if without is not None:
+        assert with_lines <= without, (with_lines, without)
