@@ -13,15 +13,39 @@ from splslam_tpu.io.synthetic import PlaneScene, ate_rmse, make_texture
 from splslam_tpu.slam.system import Sensor, Settings, System, TrackingState
 
 
-def _out_and_back(n_out=30, step=0.15, W=320, H=240, FX=200.0, BASE=0.12):
+def _circuit(n_long=30, n_short=14, step=0.15, W=320, H=240, FX=200.0,
+             BASE=0.12):
+    """Rectangular circuit over the textured plane: right, down, left,
+    up — back to the start plus a short re-traverse of the first leg.
+
+    Why not a simple out-and-back: on a straight retrace, accurate
+    tracking re-finds the outbound landmarks frame by frame, so the
+    revisited keyframes become genuinely COVISIBLE with the old ones and
+    the detector correctly excludes them as loop candidates (reference
+    DetectLoop, src/LoopClosing.cc:118-150 — connected keyframes are not
+    loops). A circuit approaches the start through FRESH scenery: the
+    local-map window on the final leg contains only return-leg
+    landmarks, so re-entering the mapped start region is precisely the
+    event loop DETECTION exists for."""
     K = np.array([[FX, 0, W / 2], [0, FX, H / 2], [0, 0, 1]], np.float32)
     scene = PlaneScene(make_texture(seed=0), z0=2.0, z1=5.0)
+    xy = []
+    x = y = 0.0
+    for _ in range(n_long):
+        xy.append((x, y)); x += step
+    for _ in range(n_short):
+        xy.append((x, y)); y += step
+    for _ in range(n_long):
+        xy.append((x, y)); x -= step
+    for _ in range(n_short):
+        xy.append((x, y)); y -= step
+    for _ in range(10):  # re-traverse the start of leg 1 (the revisit)
+        xy.append((x, y)); x += step
     poses, frames = [], []
-    for i in range(2 * n_out):
+    for i, (px, py) in enumerate(xy):
         Twc = np.eye(4)
-        x = step * (i if i < n_out else (2 * n_out - i))
-        Twc[0, 3] = x
-        Twc[1, 3] = 0.01 * np.sin(i * 0.4)
+        Twc[0, 3] = px
+        Twc[1, 3] = py + 0.01 * np.sin(i * 0.4)
         poses.append(Twc.copy())
         imgL = scene.render(K, Twc, H, W)
         Twc_r = Twc.copy()
@@ -31,7 +55,7 @@ def _out_and_back(n_out=30, step=0.15, W=320, H=240, FX=200.0, BASE=0.12):
 
 
 def test_loop_detect_verify_and_correct():
-    K, bf, frames, gt = _out_and_back()
+    K, bf, frames, gt = _circuit()
     st = Settings(
         fx=float(K[0, 0]), fy=float(K[1, 1]), cx=float(K[0, 2]),
         cy=float(K[1, 2]), bf=float(bf), width=320, height=240,
