@@ -48,7 +48,7 @@ def batched_track_step(cam, scales, scale_factor: float, n_levels: int):
         return track_step(
             cam, scales, cur, last_xy, last_oct, last_ang, last_desc,
             lm_xyz, lm_gid, T_pred, win,
-            cur.lines, no_ll, jnp.zeros((lcap, 3)), jnp.zeros((lcap,)),
+            cur.lines, no_ll, jnp.zeros((lcap, 3, 3)), jnp.zeros((lcap,)),
             LineWindow.empty(1),
             scale_factor=scale_factor, n_levels=n_levels,
         )
