@@ -406,7 +406,10 @@ def extract_lines(
         # gap bridge: disjoint capped runs along one edge merge when
         # their spans come within 8 px (the reference bridges gaps in
         # mergeSegments too; seeds in different grid cells grow runs
-        # that need not touch)
+        # that need not touch). A marginal bridge is a repeatability
+        # hazard: the same physical line then merges in one frame and
+        # stays split in the next (observed on crossing lines, where
+        # growth stops at the junction).
         half_span = 0.5 * (length[:, None] + length[None, :]) + 4.0
         same_line = (
             (_angle_diff(ang[:, None], ang[None, :]) < 0.1)
@@ -458,6 +461,19 @@ def extract_lines(
     )
     dominated = jnp.any(same_line & better & ok[None, :], axis=1)
     ok = ok & ~dominated
+
+    # --- suppress the border ring ---
+    # The zero-pad Sobel (see sobel_gradients) makes the image boundary a
+    # maximal gradient, so four phantom full-edge segments hug the frame
+    # in EVERY image. They carry no scene information, their descriptors
+    # collide with each other across frames (the border doesn't move with
+    # content), and they eat 4 top-K slots. A segment whose BOTH endpoints
+    # lie within 3 px of the same image edge is the artifact.
+    margin = 3.0
+    for k_ax, lim in ((0, W_img - 1.0), (1, H_img - 1.0)):
+        on_low = (a[:, k_ax] < margin) & (b[:, k_ax] < margin)
+        on_high = (a[:, k_ax] > lim - margin) & (b[:, k_ax] > lim - margin)
+        ok = ok & ~on_low & ~on_high
 
     # --- top-K by length ---
     sel_score = jnp.where(ok, length, -1.0)

@@ -64,9 +64,9 @@ def _low_texture_grid(seed=0):
 
     t = make_texture(seed=seed, size=2048)
     t = 128.0 + (t - 128.0) * 0.12
-    for i in range(0, 2048, 160):
-        t[i:i + 8, :] = 30.0
-        t[:, i:i + 8] = 30.0
+    for i in range(0, 2048, 96):
+        t[i:i + 7, :] = 30.0
+        t[:, i:i + 7] = 30.0
     return t.astype(np.float32)
 
 

@@ -6,8 +6,10 @@ Round-3 state: collinear-overlap MERGING in the detector (extent union
 instead of keep-longest), gradient-magnitude-weighted LBD pooling, and a
 line-geometry matcher window (perpendicular distance to the projected 3D
 line instead of a midpoint radius) lifted matcher-level re-association
-from ~0.29 to 0.49 row-side / 0.54 col-side and geometric repeatability
-to 0.52 on this scene. The gates below hold those with margin so
+from ~0.29 to 0.59 row-side / 0.66 col-side and geometric repeatability
+to 0.62 on this scene (border-ring suppression in the detector was the
+last big jump: the four phantom frame-edge segments collided across
+frames and stole matches). The gates below hold those with margin so
 detector/matcher changes cannot silently regress."""
 
 import numpy as np
@@ -94,8 +96,8 @@ def test_matcher_level_reassociation_floor():
         col_rates.append(len(goodcols) / max(v2.sum(), 1))
     row, col = float(np.mean(row_rates)), float(np.mean(col_rates))
     print(f"\nmatcher re-association: row-side {row:.3f} col-side {col:.3f}")
-    assert row >= 0.40, row
-    assert col >= 0.50, col
+    assert row >= 0.50, row
+    assert col >= 0.57, col
 
 
 def test_geometric_repeatability_floor():
@@ -126,4 +128,4 @@ def test_geometric_repeatability_floor():
         reps.append(hit / max(len(m1), 1))
     rep = float(np.mean(reps))
     print(f"\ngeometric repeatability: {rep:.3f}")
-    assert rep >= 0.40, rep
+    assert rep >= 0.52, rep

@@ -127,6 +127,45 @@ def test_lbd_descriptor_matches_across_shift():
     assert good / tot >= 0.7, (good, tot)
 
 
+def test_lbd_matches_on_true_camera_shift():
+    """The physically faithful shift: ONE rendered canvas (segments +
+    noise), two crops offset by (4,3) — identical content translated, as
+    a camera translation produces (unlike the re-rendered-noise test
+    above, where the background decorrelates and matching leans on the
+    stroke profile alone). LBD must re-match nearly every detection."""
+    from splslam_tpu.ops.match import hamming_matrix
+
+    H, W, ox, oy = 240, 320, 4, 3
+    segs = [(x1 + ox, y1 + oy, x2 + ox, y2 + oy) for (x1, y1, x2, y2) in SEGS]
+    canvas = _render_segments(segs, H=H + 2 * oy, W=W + 2 * ox, seed=7)
+    img1 = canvas[:H, :W]                      # segments at SEGS + (4,3)
+    img2 = canvas[oy:oy + H, ox:ox + W]        # segments at SEGS
+    f1 = extract_lines(jnp.asarray(img1), capacity=64)
+    f2 = extract_lines(jnp.asarray(img2), capacity=64)
+    v1 = np.asarray(f1.valid); v2 = np.asarray(f2.valid)
+    d = np.asarray(hamming_matrix(f1.desc, f2.desc)).astype(float)
+    d[~v1] = 1e9
+    d[:, ~v2] = 1e9
+    s1 = np.asarray(f1.seg); s2 = np.asarray(f2.seg)
+    good = 0; tot = 0
+    for i in range(len(v1)):
+        if not v1[i]:
+            continue
+        j = int(np.argmin(d[i]))
+        if d[i, j] > 80:
+            continue
+        tot += 1
+        a, b = s2[j, :2], s2[j, 2:]
+        dv = b - a
+        n = np.array([-dv[1], dv[0]]) / max(np.linalg.norm(dv), 1e-6)
+        p1 = s1[i, :2] - np.array([ox, oy])
+        p2 = s1[i, 2:] - np.array([ox, oy])
+        if abs(np.dot(p1 - a, n)) < 5.0 and abs(np.dot(p2 - a, n)) < 5.0:
+            good += 1
+    assert tot >= 4, (tot, int(v1.sum()), int(v2.sum()))
+    assert good / tot >= 0.8, (good, tot)
+
+
 def test_fld_backend_recall_and_thin_seeding():
     """The FLD-style backend (Canny-NMS edge seeding, reference
     include/Lineextractor.h:54-57 busingLSD=false) must recover the
