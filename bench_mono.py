@@ -6,8 +6,19 @@ Runs the full mono TrackBoth-equivalent per-frame pipeline (pyramid +
 FAST + ORB + multi-octave line detection + LBD, then motion-model
 point+line match + 3-branch pose GN + local-map point+line match + pose
 GN) on TUM-sized (640x480) synthetic frames with the TUM budget (1000
-features, 128 line slots), sequential per-frame dispatch (the mono path
-is not batched), steady-state median.
+features, 128 line slots).
+
+Timing protocol: WHOLE-REGION wall, two passes. Over the tunnel-attached
+chip, per-batch walls are NOT device time — dispatches return immediately
+and compute piles into the final fetch (observed 0.2 ms "batches"
+followed by a multi-second drain). So: a full UNTIMED pass first (a fresh
+System over the whole sequence — compiles every program the run touches,
+including the data-dependent keyframe-insertion path), then a timed pass:
+init, drain() (a real np.asarray fetch = sync barrier), one wall-clock
+region around [all batch dispatches + final drain()] divided by the frame
+count; best of 2 (the shared tunnel's throughput varies run to run).
+Batches are pre-staged to HBM before the region (same methodology note as
+bench.py, README "Tests / bench").
 
 Prints ONE JSON line to stdout; the driver's headline metric remains
 bench.py's stereo row.
@@ -33,47 +44,70 @@ def main() -> None:
     from splslam_tpu.io.synthetic import make_stereo_sequence
     from splslam_tpu.slam.system import Sensor, Settings, System
 
+    # Smooth closed lateral path: full per-frame motion everywhere, but
+    # the camera never leaves the textured region (a one-way 120-frame
+    # lateral leg exits the scene and goes LOST, which would time the
+    # relocalization path's first compiles instead of tracking; a
+    # palindromic shuttle flips velocity in one frame and breaks the
+    # constant-velocity model mid-batch).
     n_frames = 120
     K, bf, frames, gt = make_stereo_sequence(
         n_frames=n_frames, width=W, height=H, fx=520.0,
-        motion="lateral", seed=4,
+        motion="oscillate", seed=4,
     )
-    st = Settings(
-        fx=float(K[0, 0]), fy=float(K[1, 1]), cx=float(K[0, 2]),
-        cy=float(K[1, 2]), bf=0.0, width=W, height=H,
-        n_features=1000, n_levels=8, fps=30.0,
-        max_points=16384, max_keyframes=128, local_window=2048,
-        using_line=True, line_features=128, batch_defer_stats=True,
-        enable_local_mapping=False, min_kf_gap=20,
-    )
-    sysm = System(st, Sensor.MONOCULAR)
-    times = []
-    warmup = 24
-    B = 8
-    # Sequential until the two-view init completes, then batched (one
-    # dispatch per B frames — track_mono_batch), as a real-time mono
-    # deployment on a tunnel-attached chip would run.
-    i = 0
     import jax
     import numpy as np_
-    while sysm.get_tracking_state().name != "OK" and i < len(frames):
-        sysm.track_mono(frames[i][0], i / 30.0)
-        i += 1
-    while i < len(frames):
-        chunk = [l for (l, r) in frames[i:i + B]]
-        ts = [j / 30.0 for j in range(i, i + len(chunk))]
-        staged = jax.device_put(
-            np_.stack([np_.asarray(c) for c in chunk]).astype(np_.uint8))
+
+    def run_pass(timed: bool) -> float:
+        """One full pass over the sequence with a fresh System. The first
+        (untimed) pass compiles every program the run will touch —
+        including the data-dependent keyframe-insertion path — so the
+        timed pass measures steady-state dispatch + device compute only
+        (first compiles over the remote-compile tunnel are minutes)."""
+        st = Settings(
+            fx=float(K[0, 0]), fy=float(K[1, 1]), cx=float(K[0, 2]),
+            cy=float(K[1, 2]), bf=0.0, width=W, height=H,
+            n_features=1000, n_levels=8, fps=30.0,
+            max_points=16384, max_keyframes=128, local_window=2048,
+            using_line=True, line_features=128, batch_defer_stats=True,
+            enable_local_mapping=False, min_kf_gap=20,
+        )
+        sysm = System(st, Sensor.MONOCULAR)
+        B = 8
+        # Sequential until the two-view init completes, then batched
+        # (one dispatch per B frames — track_mono_batch), as a real-time
+        # mono deployment on a tunnel-attached chip would run.
+        i = 0
+        while sysm.get_tracking_state().name != "OK" and i < len(frames):
+            sysm.track_mono(frames[i][0], i / 30.0)
+            i += 1
+        init_end = i
+        starts = list(range(init_end, n_frames, B))
+        staged = {
+            s: jax.device_put(np_.stack(
+                [np_.asarray(l) for (l, r) in frames[s:s + B]]
+            ).astype(np_.uint8))
+            for s in starts
+        }
+        sysm.drain()  # sync barrier: flush init compute + stats
+        n_timed = 0
         t0 = time.perf_counter()
-        sysm.track_mono_batch(staged, ts)
-        dt = (time.perf_counter() - t0) / len(chunk)
-        if i >= warmup:
-            times.extend([dt] * len(chunk))
-        print(f"batch @{i}: {dt*1000:.1f} ms/frame state={sysm.state.name}",
-              file=sys.stderr)
-        i += len(chunk)
-    sysm.drain()
-    ms = float(np.median(times) * 1000.0)
+        for s in starts:
+            ts = [j / 30.0 for j in range(s, s + staged[s].shape[0])]
+            sysm.track_mono_batch(staged[s], ts)
+            n_timed += staged[s].shape[0]
+            print(f"batch @{s}: dispatched state={sysm.state.name}",
+                  file=sys.stderr)
+            # A LOST excursion would time the reloc path instead of
+            # steady tracking — fail loudly, don't report garbage.
+            assert sysm.state.name == "OK", f"tracking {sysm.state} at {s}"
+        sysm.drain()
+        wall = time.perf_counter() - t0
+        assert sysm.get_tracking_state().name == "OK", sysm.state
+        return wall * 1000.0 / max(n_timed, 1)
+
+    run_pass(timed=False)   # compile pass
+    ms = min(run_pass(timed=True) for _ in range(2))
     print(json.dumps({
         "metric": "tum_mono_line_tracking_ms_per_frame",
         "value": round(ms, 2),

@@ -215,6 +215,15 @@ def make_stereo_sequence(
             if motion == "lateral":
                 Twc[0, 3] = 0.04 * speed * i
                 Twc[1, 3] = 0.01 * np.sin(i * 0.3)
+            elif motion == "oscillate":
+                # Smooth closed lateral path: same peak velocity as
+                # "lateral" (0.04*speed/frame) but the turnaround is
+                # velocity-continuous — palindromic shuttling of a
+                # one-way leg flips the velocity in a single frame,
+                # which breaks constant-velocity motion models
+                # (benchmarks need arbitrarily long in-scene runs).
+                Twc[0, 3] = 0.8 * np.sin(0.05 * speed * i)
+                Twc[1, 3] = 0.01 * np.sin(i * 0.3)
             elif motion == "forward":
                 Twc[2, 3] = 0.03 * speed * i
                 Twc[0, 3] = 0.01 * speed * i
