@@ -538,11 +538,23 @@ class LoopCloser:
             )
 
     # ------------------------------------------------------------------
-    def run_global_ba(self, rounds: int = 2):
+    def run_global_ba(self, rounds: int = 2, with_lines: bool = True):
         """Full-map bundle adjustment (reference RunGlobalBundleAdjustment)
-        with the matrix-free PCG solver."""
+        with the matrix-free PCG solver.
+
+        Map lines participate as paired 1-dof endpoint edges when
+        `with_lines` — this EXCEEDS the reference, whose stock GBA is
+        points-only (src/Optimizer.cc:219-408 contains no line blocks);
+        the edge construction is shared with local BA (add_line_edges).
+        Lines with fewer than 2 surviving observations are
+        under-constrained under the endpoint parametrization (each
+        observation pins the endpoint to a back-projected plane; one
+        plane leaves 2 sliding dof that only damping holds) and are
+        instead carried through their owning keyframe's pose delta
+        X' = Tnew^-1 Told X, which is also the with_lines=False path."""
         sys = self.sys
         from splslam_tpu.optim.ba import BAProblem, ba_solve_pcg
+        from splslam_tpu.slam.mapping_ops import add_line_edges
 
         st = sys.map
         K = st.kfs.Tcw.shape[0]
@@ -568,11 +580,21 @@ class LoopCloser:
             e_inv_sigma2=(1.0 / st.kfs.sigma2).reshape(-1),
             e_ok=e_ok.reshape(-1),
         )
+        P = st.pts.xyz.shape[0]
+        Q = st.lns.xyz.shape[0]
+        use_lines = with_lines and st.kfs.ll_idx.shape[1] > 0
+        if use_lines:
+            cam_ids = jnp.where(
+                st.kfs.valid, jnp.arange(K, dtype=jnp.int32), -1
+            )
+            ln_ids = jnp.where(
+                st.lns.valid, jnp.arange(Q, dtype=jnp.int32), -1
+            )
+            prob = add_line_edges(st, cam_ids, ln_ids, prob)
         res = ba_solve_pcg(sys.cam, prob, rounds=rounds)
-        # Lines are not in the GBA edge set (the reference's stock GBA is
-        # points-only); carry them with their owning keyframe's pose
-        # delta so they stay consistent with the optimized map:
-        # X' = Tnew^-1 Told X.
+        # Fallback carry for lines outside the edge set: transform through
+        # the owning keyframe's pose delta so they stay consistent with
+        # the optimized map: X' = Tnew^-1 Told X.
         lns = st.lns
         lref = jnp.clip(lns.first_kf, 0, K - 1)
         To = st.kfs.Tcw[lref]
@@ -587,9 +609,36 @@ class LoopCloser:
         new_lxyz = jnp.where(
             (lns.valid & st.kfs.valid[lref])[:, None, None], lxw, lns.xyz
         )
+        if use_lines:
+            # Optimized endpoints live at landmark slots [P + 2q, P + 2q+1]
+            # (add_line_edges layout); adopt them for lines with >= 2 live
+            # observations, midpoint re-derived as the endpoint mean.
+            ll = st.kfs.ll_idx
+            obs_ok = (
+                (ll >= 0)
+                & st.kfs.lvalid
+                & st.kfs.valid[:, None]
+                & st.lns.valid[jnp.clip(ll, 0)]
+            )
+            cnt = jnp.zeros((Q + 1,), jnp.int32).at[
+                jnp.where(obs_ok, ll, Q)
+            ].add(1, mode="drop")[:Q]
+            ends = res.xyz[P:P + 2 * Q].reshape(Q, 2, 3)
+            opt_triple = jnp.stack(
+                [ends[:, 0], 0.5 * (ends[:, 0] + ends[:, 1]), ends[:, 1]],
+                axis=1,
+            )
+            constrained = (
+                lns.valid
+                & (cnt >= 2)
+                & jnp.all(jnp.isfinite(opt_triple), axis=(1, 2))
+            )
+            new_lxyz = jnp.where(
+                constrained[:, None, None], opt_triple, new_lxyz
+            )
         sys.map = sys.map._replace(
             kfs=st.kfs._replace(Tcw=res.Tcw),
-            pts=st.pts._replace(xyz=res.xyz),
+            pts=st.pts._replace(xyz=res.xyz[:P]),
             lns=lns._replace(xyz=new_lxyz),
         )
         n = sys.n_kfs
