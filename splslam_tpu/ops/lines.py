@@ -102,11 +102,15 @@ def sobel_gradients(image: jax.Array) -> tuple[jax.Array, jax.Array]:
     the border-driven floor, weak noise seeds pass MAG_FRAC and fragment
     the segment table. Border runs themselves lose the duplicate-
     suppression/top-K ranking to real lines."""
-    img = image[None, None]
-    kx = jnp.array([[-1, 0, 1], [-2, 0, 2], [-1, 0, 1]], jnp.float32)
-    ky = kx.T
-    gx = jax.lax.conv_general_dilated(img, kx[None, None], (1, 1), "SAME")[0, 0]
-    gy = jax.lax.conv_general_dilated(img, ky[None, None], (1, 1), "SAME")[0, 0]
+    # Shift-and-add instead of conv_general_dilated: a 1-channel 3x3
+    # conv lowers to a degenerate MXU program on TPU (~2.7 ms at
+    # 640x480); the separable shift form is pure VPU adds (~1.2 ms)
+    # and bit-identical.
+    p = jnp.pad(image, 1)
+    sx = p[:, 2:] - p[:, :-2]            # [H+2, W] central dx
+    sy = p[2:, :] - p[:-2, :]            # [H, W+2] central dy
+    gx = sx[:-2] + 2.0 * sx[1:-1] + sx[2:]
+    gy = sy[:, :-2] + 2.0 * sy[:, 1:-1] + sy[:, 2:]
     return gx, gy
 
 
@@ -242,6 +246,8 @@ def _detect_level(
     cell: int,
     min_length: float,
     backend: str = "grow",
+    level_cap: int = 256,
+    grads: tuple[jax.Array, jax.Array] | None = None,
 ):
     """One detection octave: seeds -> growth -> refinement. Returns
     (a [C,2], b [C,2], length [C], ok [C], cmax [C]) in THIS level's
@@ -255,7 +261,7 @@ def _detect_level(
     src/Lineextractor.cc:69-118) — thinner, better-localized seeds that
     favor step edges over texture."""
     H, W = image.shape
-    gx, gy = sobel_gradients(image)
+    gx, gy = grads if grads is not None else sobel_gradients(image)
     mag = jnp.sqrt(gx * gx + gy * gy)
     mag_th = jnp.maximum(jnp.max(mag) * MAG_FRAC, 1e-3)
 
@@ -315,6 +321,18 @@ def _detect_level(
     length = fwd + bwd
     ok = seed_ok & (length >= min_length)
 
+    # --- compact to the longest level_cap candidates BEFORE subpixel
+    # refinement: the ~1080 per-cell candidates at L0 are mostly
+    # min_length failures and short noise scraps; refining all of them
+    # was ~3.6 ms/frame of pure gather cost on TPU, and the downstream
+    # O(C^2) merge matrices another ~9 ms. Top-by-length keeps every
+    # fragment the merge could extend a survivor with. ---
+    if length.shape[0] > level_cap:
+        pre = jnp.where(ok, length, -1.0)
+        _, pi = jax.lax.top_k(pre, level_cap)
+        p_start, p_end = p_start[pi], p_end[pi]
+        length, ok, cmax = length[pi], ok[pi], cmax[pi]
+
     # --- subpixel refinement: pull sample points to the perpendicular
     # magnitude centroid, then refit the segment by total least squares
     # (stabilizes midpoints to sub-pixel across frames, which the
@@ -352,19 +370,29 @@ def extract_lines(
     full resolution. Candidates are mapped to level-0 coordinates and
     deduplicated jointly (collinear-overlap suppression), then the global
     top-K by length is kept and described against level-0 gradients."""
-    from splslam_tpu.ops.pyramid import resize_bilinear
-
     H, W = image.shape
+    # Level-0 gradients, computed ONCE and shared by L0 detection and
+    # the dedup/describe tail below (they were computed twice before).
+    gx, gy = sobel_gradients(image)
+
     cand_a, cand_b, cand_len, cand_ok, cand_resp = [], [], [], [], []
     cand_oct = []
     lv_img = image
     for lv in range(n_octaves):
-        s = 2.0 ** lv
         if lv > 0:
-            lv_img = resize_bilinear(lv_img, (int(round(H / s)),
-                                              int(round(W / s))))
+            # 2x2 mean-pool octave downsample (the reference detects on
+            # cv pyramid levels, src/Lineextractor.cc:119-181): a
+            # reshape-reduce, ~6x cheaper than bilinear-gather resize on
+            # TPU and an anti-aliasing filter at exactly scale 0.5.
+            Hc = (lv_img.shape[0] // 2) * 2
+            Wc = (lv_img.shape[1] // 2) * 2
+            lv_img = lv_img[:Hc, :Wc].reshape(
+                Hc // 2, 2, Wc // 2, 2).mean(axis=(1, 3))
+        s = 2.0 ** lv
         a, b, ln, ok, cm = _detect_level(
-            lv_img, cell, max(min_length / s, 12.0), backend=backend
+            lv_img, cell, max(min_length / s, 12.0), backend=backend,
+            level_cap=max(192, 2 * capacity),
+            grads=(gx, gy) if lv == 0 else None,
         )
         cand_a.append(a * s)
         cand_b.append(b * s)
@@ -378,9 +406,6 @@ def extract_lines(
     ok = jnp.concatenate(cand_ok)
     cmax = jnp.concatenate(cand_resp)
     octv = jnp.concatenate(cand_oct)
-
-    # Gradients at level 0 for dedup/refine/describe.
-    gx, gy = sobel_gradients(image)
 
     # Mean gradient magnitude along the kept run as the response.
     response = jnp.where(ok, length * 0.0 + cmax, 0.0)
