@@ -17,3 +17,15 @@ if "xla_force_host_platform_device_count" not in flags:
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+
+# Persistent XLA compilation cache: the suite is compile-bound (the
+# unrolled-Cholesky BA solver alone is a ~45 s compile), and most test
+# programs recur run to run. The first run on a machine pays full
+# compiles; warm runs load from the cache (measured ~3.7x on the BA
+# solver). Safe cross-machine: a feature mismatch logs a warning and
+# recompiles.
+jax.config.update("jax_compilation_cache_dir",
+                  os.environ.get("SPLSLAM_TEST_CACHE",
+                                 "/tmp/splslam_test_xla_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)

@@ -175,8 +175,13 @@ def test_pose_graph_edges_scale():
     LC._covis_matrix(st).block_until_ready()
     LC._covis_matrix_lines(st).block_until_ready()
     S_loop = (1.0, np.eye(3, dtype=np.float32), np.zeros(3, np.float32))
-    t0 = time.perf_counter()
-    edges = LC._build_pose_graph_edges(st, K_CAP, K_CAP - 1, 0, S_loop)
-    dt = time.perf_counter() - t0
+    # Best of 3: the gate measures the vectorized assembly's intrinsic
+    # cost, not transient CPU contention from parallel test processes
+    # (observed 3.9 s for a 0.3 s op under a concurrent full-suite run).
+    dt = 1e9
+    for _ in range(3):
+        t0 = time.perf_counter()
+        edges = LC._build_pose_graph_edges(st, K_CAP, K_CAP - 1, 0, S_loop)
+        dt = min(dt, time.perf_counter() - t0)
     assert len(np.asarray(edges.i)) >= K_CAP - 1
     assert dt < 1.0, f"essential graph assembly took {dt:.2f}s"
