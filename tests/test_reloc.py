@@ -203,3 +203,47 @@ def test_load_orbslam_txt_roundtrip(tmp_path):
     words = V.transform_words(
         voc, jnp.asarray(packed), jnp.ones(4, bool))
     assert sorted(np.asarray(words).tolist()) == [0, 1, 2, 3]
+
+
+@pytest.mark.slow
+def test_midbatch_kidnap_recovers_on_batch_final_frame():
+    """Batched tracking's documented LOST handling (slam/system.py
+    track_*_batch): a kidnap INSIDE a batch surfaces as LOST on the
+    batch-final frame, where relocalization is attempted with the only
+    FrameData the device retained. A batch whose final frame revisits
+    known scenery must come back OK at the revisited pose; pure-garbage
+    batches must stay LOST without corrupting the map."""
+    K, bf, frames, gt = make_stereo_sequence(
+        n_frames=15, motion="forward", width=320, height=240
+    )
+    st = Settings(
+        fx=float(K[0, 0]), fy=float(K[1, 1]), cx=float(K[0, 2]),
+        cy=float(K[1, 2]), bf=float(bf), width=320, height=240,
+        n_features=600, n_levels=4, th_depth=40.0, fps=10,
+        max_points=8192, max_keyframes=64, local_window=1024,
+        enable_local_mapping=True,
+    )
+    sysm = System(st, Sensor.STEREO)
+    for i, (l, r) in enumerate(frames):
+        sysm.track_stereo(l, r, i * 0.1)
+    sysm.drain()
+    assert sysm.state == TrackingState.OK
+    n_kf0 = sysm.n_kfs
+
+    blank = np.full((240, 320), 128.0, np.float32)
+    # Batch 1: kidnap at the first frame, garbage throughout -> the
+    # batch-final reloc attempt has nothing to match; stays LOST.
+    b1 = [(blank, blank)] * 4
+    sysm.track_stereo_batch(b1, [1.5 + 0.1 * j for j in range(4)])
+    sysm.drain()
+    assert sysm.state == TrackingState.LOST
+    # Batch 2: still garbage except the FINAL frame revisits frame 6's
+    # view -> batch-final relocalization must recover.
+    b2 = [(blank, blank)] * 3 + [frames[6]]
+    sysm.track_stereo_batch(b2, [2.0 + 0.1 * j for j in range(4)])
+    sysm.drain()
+    assert sysm.state == TrackingState.OK
+    p = sysm.poses()[-1][:3, 3]
+    assert np.linalg.norm(p - gt[6][:3, 3]) < 0.08, p
+    # the kidnap must not have minted keyframes from garbage
+    assert sysm.n_kfs <= n_kf0 + 1
