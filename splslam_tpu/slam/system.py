@@ -246,6 +246,7 @@ class System:
         self.ref_kf_matches = 0
         self.frames_since_kf = 0
         self.step: StepState | None = None
+        self.last_image: np.ndarray | None = None  # viewer snapshot
         self.last_Tcw_np = np.eye(4, dtype=np.float32)
         self.kf_pose_host: dict[int, np.ndarray] = {}
         self.trajectory: list[_TrajEntry] = []
@@ -279,6 +280,10 @@ class System:
             )
 
     def _track_stereo(self, img_left, img_right, timestamp: float) -> np.ndarray:
+        # Publish the raw frame for the async Viewer thread (the reference
+        # FrameDrawer::Update copies mImGray under mutex, FrameDrawer.cc:361;
+        # here the viewer reads this immutable host reference).
+        self.last_image = np.asarray(img_left)
         # One packed uint8 transfer for the pair: the tunnel-attached TPU
         # is H2D-bandwidth-bound (~22 MB/s), so ship 1 byte/px, not 4.
         imgs = jnp.asarray(
@@ -444,6 +449,7 @@ class System:
             )
 
     def _track_rgbd(self, img, depth, timestamp: float) -> np.ndarray:
+        self.last_image = np.asarray(img)
         imgj = jnp.asarray(np.asarray(img).astype(np.uint8))
         depthj = jnp.asarray(depth, jnp.float32)
         if self.state in (TrackingState.NO_IMAGES_YET, TrackingState.NOT_INITIALIZED):
@@ -478,6 +484,7 @@ class System:
             )
 
     def _track_mono(self, img, timestamp: float) -> np.ndarray:
+        self.last_image = np.asarray(img)
         image = jnp.asarray(np.asarray(img).astype(np.uint8))
         from splslam_tpu.slam import mono
 

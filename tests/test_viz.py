@@ -35,3 +35,44 @@ def test_overlay_and_map_plot(tmp_path):
     import os
 
     assert os.path.getsize(out) > 5000
+
+
+def test_live_viewer_loop(tmp_path):
+    """The live Viewer thread (reference src/Viewer.cc Run loop +
+    RequestStop/Release/RequestFinish handshake): renders overlay PNGs at
+    cadence while tracking runs, honors stop/release, finishes clean."""
+    import glob
+    import time
+
+    from splslam_tpu.viz import Viewer
+
+    K, bf, frames, gt = make_stereo_sequence(
+        n_frames=8, motion="forward", width=320, height=240
+    )
+    st = Settings(
+        fx=float(K[0, 0]), fy=float(K[1, 1]), cx=float(K[0, 2]),
+        cy=float(K[1, 2]), bf=float(bf), width=320, height=240,
+        n_features=400, n_levels=3, th_depth=40.0, fps=10,
+        max_points=4096, max_keyframes=16, local_window=512,
+        enable_local_mapping=False,
+    )
+    sysm = System(st, Sensor.STEREO)
+    viewer = Viewer(sysm, fps=200.0, out_dir=str(tmp_path), show=False,
+                    map_every=2).start()
+    for i, (l, r) in enumerate(frames):
+        sysm.track_stereo(l, r, i * 0.1)
+        time.sleep(0.02)  # give the viewer thread a tick per frame
+    sysm.drain()
+    # stop handshake (the reference viewer parks while loop closing runs)
+    viewer.request_stop()
+    deadline = time.time() + 5.0
+    while not viewer.is_stopped() and time.time() < deadline:
+        time.sleep(0.01)
+    assert viewer.is_stopped()
+    viewer.release()
+    viewer.request_finish()
+    viewer.join()
+    assert viewer.is_finished()
+    pngs = glob.glob(str(tmp_path / "frame_*.png"))
+    assert len(pngs) >= 3, pngs          # rendered while tracking
+    assert (tmp_path / "map.png").exists()  # periodic map refresh
