@@ -105,5 +105,80 @@ def main() -> None:
     }))
 
 
+def main_realistic() -> None:
+    """Supplementary honesty row (NOT the driver headline): tracking FPS
+    through the FULL System with local mapping enabled at a realistic
+    keyframe cadence — keyframe insertion, async mapping_step dispatch
+    (cull + triangulate + fuse + local BA + KF-cull), and covisibility
+    growth over a real multi-KF map all inside the timed region. The
+    headline row above deliberately isolates tracking (the reference
+    reports tracking and mapping as separate columns, run on concurrent
+    threads); this row is the combined number a deployment sees.
+
+    Protocol: B=8 frame batches (keyframe decisions run between batches,
+    so cadence granularity is 8 frames), force_kf_every=16 — one KF per
+    16 frames, the reference's real-scene KITTI cadence. The cadence is
+    FORCED because the synthetic shuttle tracks so well that the faithful
+    NeedNewKeyFrame c2 (match decay) never fires — measured: 1 KF over
+    256 frames — which would make this row an empty gesture; real scenes
+    decay and insert at about this rate. One full untimed pass compiles
+    every program (tracking, add_keyframe_step, mapping_step); the timed
+    pass is whole-region wall over [dispatches + final drain] / frames.
+    Run: python bench.py --full   (prints a second JSON line to stderr).
+    """
+    from splslam_tpu.io.synthetic import make_stereo_sequence
+    from splslam_tpu.slam.system import Sensor, Settings, System
+
+    n_frames = 256
+    K, bf, leg, gt = make_stereo_sequence(
+        n_frames=96, width=KITTI_W, height=KITTI_H,
+        fx=718.0, baseline=0.54, motion="forward", seed=3,
+    )
+    cycle = leg + leg[-2:0:-1]
+    frames = [cycle[i % len(cycle)] for i in range(n_frames)]
+    results = {}
+    for timed in (False, True):
+        st = Settings(
+            fx=float(K[0, 0]), fy=float(K[1, 1]), cx=float(K[0, 2]),
+            cy=float(K[1, 2]), bf=float(bf), width=KITTI_W, height=KITTI_H,
+            n_features=2000, n_levels=8, th_depth=35.0, fps=10.0,
+            max_points=65536, max_keyframes=64, local_window=2048,
+            enable_local_mapping=True, batch_defer_stats=True,
+            min_kf_gap=8, force_kf_every=16,
+        )
+        sysm = System(st, Sensor.STEREO)
+        B = 8
+        sysm.track_stereo(frames[0][0], frames[0][1], 0.0)
+        chunks = [frames[i:i + B] for i in range(1, len(frames), B)]
+        staged = [sysm.upload_batch(c) for c in chunks]
+        t0 = time.perf_counter()
+        for ci, chunk in enumerate(chunks):
+            sysm.track_stereo_batch(staged[ci], [0.1 * (1 + ci * B + j)
+                                                 for j in range(len(chunk))])
+        sysm.drain()
+        wall = time.perf_counter() - t0
+        results = {
+            "ms_per_frame": wall / (n_frames - 1) * 1000.0,
+            "n_kfs": sysm.n_kfs,
+            "mapping_steps": sysm.mapper.n_steps,
+        }
+        print(f"realistic pass timed={timed}: "
+              f"{results['ms_per_frame']:.2f} ms/frame, "
+              f"KFs={results['n_kfs']} mapping={results['mapping_steps']}",
+              file=sys.stderr)
+    fps = 1000.0 / results["ms_per_frame"]
+    print(json.dumps({
+        "metric": "kitti_stereo_fps_realistic_kf_cadence",
+        "value": round(fps, 2),
+        "unit": "frames/s",
+        "vs_baseline": round(fps / (1000.0 / BASELINE_MS), 2),
+        "n_keyframes": results["n_kfs"],
+        "mapping_steps": results["mapping_steps"],
+        "n_frames": n_frames,
+    }), file=sys.stderr)
+
+
 if __name__ == "__main__":
     main()
+    if "--full" in sys.argv:
+        main_realistic()

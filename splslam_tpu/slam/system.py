@@ -135,6 +135,14 @@ class Settings:
     # mMinFrames = 0, src/Tracking.cc:62; a small positive gap amortizes
     # the mapping dispatch on the tunnel-attached chip)
     min_kf_gap: int = 1
+    # benchmark/ablation knob: when > 0, insert a keyframe every this
+    # many frames regardless of match decay (c2 overridden). Synthetic
+    # benchmark scenes track so well that the faithful NeedNewKeyFrame
+    # c2 (match decay vs the reference KF) never fires, which would let
+    # a combined tracking+mapping benchmark silently skip all mapping
+    # work; real scenes decay and insert every ~10 frames (reference
+    # KITTI report cadence). 0 = off (the faithful policy only).
+    force_kf_every: int = 0
     # pipelining: frames in flight before the host consumes their stats
     # (each blocking device->host sync costs ~50 ms over the TPU tunnel)
     async_depth: int = 1
@@ -762,6 +770,8 @@ class System:
         refKF->TrackedMapPoints(minObs) computed on device."""
         if self.n_kfs >= self.settings.max_keyframes - 1:
             return False
+        if self.settings.force_kf_every > 0:
+            return self.frames_since_kf >= self.settings.force_kf_every
         max_frames = int(self.settings.fps)
         n_tracked_close = int(stats[pipeline.S_CLOSE_TRACKED])
         n_untracked_close = int(stats[pipeline.S_CLOSE_UNTRACKED])

@@ -74,6 +74,33 @@ class TestStereoVO:
         err = ate_rmse(est, gt)
         assert err < 0.05, err
 
+    def test_force_kf_every(self):
+        """The forced-cadence bench knob: lateral motion on the easy
+        synthetic scene never fires the faithful c2 (match decay), so
+        every inserted keyframe here is attributable to force_kf_every."""
+        from splslam_tpu.io.synthetic import make_stereo_sequence
+
+        K, bf, frames, _ = make_stereo_sequence(
+            n_frames=13, motion="lateral", width=320, height=240
+        )
+        st = Settings(
+            fx=float(K[0, 0]), fy=float(K[1, 1]), cx=float(K[0, 2]),
+            cy=float(K[1, 2]), bf=float(bf), width=320, height=240,
+            n_features=600, n_levels=4, th_depth=40.0, fps=10,
+            max_points=8192, max_keyframes=64, local_window=1024,
+            enable_local_mapping=False, force_kf_every=4,
+        )
+        sysm = System(st, Sensor.STEREO)
+        for i, (l, r) in enumerate(frames):
+            sysm.track_stereo(l, r, i * 0.1)
+        sysm.drain()
+        # init KF at frame 0, then one per ~4 frames; the async pipeline
+        # (async_depth=1) consumes each frame's stats one frame late, so
+        # insertions may land a frame after the exact cadence mark
+        # (3 or 4 total over 13 frames). Without the knob: exactly 1.
+        assert 3 <= sysm.n_kfs <= 4, sysm.n_kfs
+        assert sysm.get_tracking_state() == TrackingState.OK
+
     @pytest.mark.slow
     def test_batched_equals_sequential(self):
         """vo_batch_step (B frames per dispatch) must produce the same
