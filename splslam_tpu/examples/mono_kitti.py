@@ -26,7 +26,8 @@ def main(argv=None):
     dl.close()
     # evo-compatible KITTI-mono export (reference SaveTrajectoryKITTIMono,
     # src/System.cc:492)
-    sysm.save_trajectory_kitti(argv[2] if len(argv) > 2 else "CameraTrajectory.txt")
+    sysm.save_trajectory_kitti_mono(
+        argv[2] if len(argv) > 2 else "CameraTrajectory.txt")
     return 0
 
 

@@ -904,6 +904,16 @@ class System:
                 row = Twc[:3, :4].reshape(-1)
                 f.write(" ".join(f"{v:.9e}" for v in row) + "\n")
 
+    def save_trajectory_kitti_mono(self, path: str):
+        """KITTI-format saver for monocular runs (reference
+        System::SaveTrajectoryKITTIMono, src/System.cc:492-540 — added
+        there because SaveTrajectoryKITTI refuses the MONOCULAR sensor,
+        src/System.cc:445; "用于保存evo测评工具格式数据"). Our KITTI saver
+        is sensor-agnostic, so this is the same computation under the
+        reference's name; poses are up-to-scale exactly as the
+        reference's (evo aligns with scale for mono)."""
+        self.save_trajectory_kitti(path)
+
     def save_keyframe_trajectory_tum(self, path: str):
         """KeyFrame-only TUM trajectory (reference
         System::SaveKeyFrameTrajectoryTUM, src/System.cc:397-438)."""
