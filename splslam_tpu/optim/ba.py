@@ -271,35 +271,41 @@ def ba_solve(
 
     chi2_gate, huber_d2, joint_chi2 = _gates(p)
 
-    # Segment permutations for the normal-equation accumulations —
-    # hoisted: edge->slot assignment is constant across GN iterations,
-    # so the three sorts run once per solve, not once per step.
+    # ONE fused segment permutation for all three normal-equation
+    # accumulations (hoisted: edge->slot assignment is constant across
+    # GN iterations). Every per-edge block scatters once into a joint
+    # (camera-band, landmark) cell buffer keyed by ec*L + lm, with
+    # free cameras in bands 0..Cf-1 and everything else (fixed-ring
+    # cameras, gauge-frozen, invalid) collapsed into band Cf — fixed
+    # cameras must still reach Hpp/bp through the band-Cf rows. Hcc/bc
+    # then fall out as a dense reduction over the landmark axis of the
+    # free bands, Hpp/bp as a reduction over ALL camera bands, and the
+    # Schur cross blocks W are the free bands directly (exact: a camera
+    # observes a landmark at most once, so free-band cells hold single
+    # edges). Profiled on-chip: three separate sorted scatters (42+12+18
+    # wide) were 1.14 ms per GN step at E=32k — the largest single cost
+    # of the solve; the fused 72-wide scatter + two reductions is one
+    # pass over the same bytes.
     free_edge = (p.e_cam < Cf) & p.cam_free[jnp.clip(p.e_cam, 0)]
     ec = jnp.where(free_edge, p.e_cam, Cf)
-    perm_c = jnp.argsort(ec)
-    ec_sorted = ec[perm_c]
-    perm_l = jnp.argsort(p.e_lm)
-    lm_sorted = p.e_lm[perm_l]
-    cl = jnp.where(free_edge, ec * L + p.e_lm, Cf * L)
+    cl = ec * L + p.e_lm
     perm_cl = jnp.argsort(cl)
     cl_sorted = cl[perm_cl]
 
-    def robust_cost(Tcw_all, xyz_all, active):
-        """Total Huber-robustified chi2 of the active edges."""
-        _, _, _, chi2, z_ok = _edge_terms(Tcw_all, xyz_all, cam, p)
-        d2 = huber_d2
-        rho = jnp.where(
-            chi2 <= d2, chi2, 2.0 * jnp.sqrt(d2 * jnp.maximum(chi2, 0.0)) - d2
-        )
-        return jnp.sum(jnp.where(active & z_ok, rho, 0.0))
-
-    def gn_step(state, active, lam):
-        Tcw_all, xyz_all = state
+    def assemble(Tcw_all, xyz_all, active):
+        """One linearization at a state: edge terms -> fused-scatter
+        accumulation. Returns (acc [Cf+1,L,72], robust cost, raw chi2,
+        z_ok) — everything a solve, an LM accept test, and the round-end
+        chi2 classification need, so the LM loop can CACHE it per
+        accepted state instead of re-deriving edge terms for each of
+        those uses (profiled on-chip: edge terms are ~0.65 ms per eval
+        at E=32k; the caching halves the eval count)."""
         r, J_c, J_p, chi2, z_ok = _edge_terms(Tcw_all, xyz_all, cam, p)
+        live = active & z_ok
         w = (
             _huber_weight(chi2, huber_d2)
             * p.e_inv_sigma2
-            * (active & z_ok).astype(jnp.float32)
+            * live.astype(jnp.float32)
         )
         # Gradients (J^T W r) and block Hessians as broadcast-sums over
         # the 2-3-long residual axis (batched tiny einsums are MXU-
@@ -316,29 +322,33 @@ def ba_solve(
         # An edge feeds the camera system only if its camera slot is in the
         # leading free block AND not frozen (gauge anchors, e.g. keyframe 0 —
         # reference Optimizer.cc:2518 setFixed for mnId==0). Frozen cameras
-        # still constrain landmarks through Hpp/bp. All accumulations go
-        # through pre-sorted scatter-adds: the segment permutations are
-        # hoisted out of the GN iteration (edge->slot assignment never
-        # changes within a solve) and `indices_are_sorted` lets XLA emit
-        # a vectorized sorted-segment reduction instead of a serialized
-        # random scatter over the 32k-row edge table.
-        Hcb = jnp.concatenate(
-            [Hcc_e.reshape(-1, 36), g_c], axis=-1)        # [E,42]
-        acc_c = jnp.zeros((Cf + 1, 42)).at[ec_sorted].add(
-            Hcb[perm_c], indices_are_sorted=True, mode="drop")
-        Hcc = acc_c[:Cf, :36].reshape(Cf, 6, 6)
-        bc = acc_c[:Cf, 36:]
-        Hpb = jnp.concatenate(
-            [Hpp_e.reshape(-1, 9), g_p], axis=-1)         # [E,12]
-        acc_p = jnp.zeros((L, 12)).at[lm_sorted].add(
-            Hpb[perm_l], indices_are_sorted=True, mode="drop")
+        # still constrain landmarks through Hpp/bp (band Cf of the joint
+        # buffer; see the fused-scatter note above).
+        payload = jnp.concatenate(
+            [Hcc_e.reshape(-1, 36), g_c,
+             Hpp_e.reshape(-1, 9), g_p,
+             Hcp_e.reshape(-1, 18)], axis=-1)             # [E,72]
+        acc = jnp.zeros(((Cf + 1) * L, 72)).at[cl_sorted].add(
+            payload[perm_cl], indices_are_sorted=True, mode="drop"
+        ).reshape(Cf + 1, L, 72)
+        d2 = huber_d2
+        rho = jnp.where(
+            chi2 <= d2, chi2, 2.0 * jnp.sqrt(d2 * jnp.maximum(chi2, 0.0)) - d2
+        )
+        cost = jnp.sum(jnp.where(live, rho, 0.0))
+        return acc, cost, chi2, z_ok
+
+    def gn_step(state, acc, lam):
+        """Propose an LM step from a CACHED linearization `acc`."""
+        Tcw_all, xyz_all = state
+        acc_c = jnp.sum(acc[:Cf, :, :42], axis=1)         # [Cf,42]
+        Hcc = acc_c[:, :36].reshape(Cf, 6, 6)
+        bc = acc_c[:, 36:]
+        acc_p = jnp.sum(acc[:, :, 42:54], axis=0)         # [L,12]
         Hpp = acc_p[:, :9].reshape(L, 3, 3)
         bp = acc_p[:, 9:]
         # Dense cross blocks W[c,l] (one obs per (c,l) pair).
-        W = jnp.zeros((Cf * L + 1, 18)).at[cl_sorted].add(
-            Hcp_e.reshape(-1, 18)[perm_cl],
-            indices_are_sorted=True, mode="drop",
-        )[:Cf * L].reshape(Cf, L, 6, 3)
+        W = acc[:Cf, :, 54:].reshape(Cf, L, 6, 3)
 
         lm_active = p.lm_ok & (jnp.diagonal(Hpp, axis1=1, axis2=2).sum(-1) > 0)
         # LM damping: multiplicative on the block diagonals (plus a floor
@@ -403,26 +413,39 @@ def ba_solve(
 
     def round_body(carry, _):
         (Tcw_all, xyz_all), active, lam = carry
+        # Linearize once at the round's entry state; thereafter each LM
+        # iteration re-linearizes ONLY at accepted candidates. A rejected
+        # step retries the cached system with higher damping — the same
+        # solve sequence as re-deriving identical terms at the unchanged
+        # state, minus the rederivation.
+        acc0, cost0, chi20, zok0 = assemble(Tcw_all, xyz_all, active)
 
         def lm_iter(st, _):
-            (Tcw_c, xyz_c), lam_c, cost_c = st
-            cand = gn_step((Tcw_c, xyz_c), active, lam_c)
-            cost_new = robust_cost(cand[0], cand[1], active)
+            (Tcw_c, xyz_c), acc_c, lam_c, cost_c, chi2_c, zok_c = st
+            cand = gn_step((Tcw_c, xyz_c), acc_c, lam_c)
+            acc_n, cost_new, chi2_n, zok_n = assemble(cand[0], cand[1],
+                                                      active)
             accept = cost_new < cost_c
             Tcw_n = jnp.where(accept, cand[0], Tcw_c)
             xyz_n = jnp.where(accept, cand[1], xyz_c)
             lam_n = jnp.clip(
                 jnp.where(accept, lam_c * 0.5, lam_c * 4.0), 1e-6, 1e6
             )
-            cost_n = jnp.where(accept, cost_new, cost_c)
-            return ((Tcw_n, xyz_n), lam_n, cost_n), None
+            return ((Tcw_n, xyz_n),
+                    jnp.where(accept, acc_n, acc_c),
+                    lam_n,
+                    jnp.where(accept, cost_new, cost_c),
+                    jnp.where(accept, chi2_n, chi2_c),
+                    jnp.where(accept, zok_n, zok_c)), None
 
-        cost0 = robust_cost(Tcw_all, xyz_all, active)
         st, _ = jax.lax.scan(
-            lm_iter, ((Tcw_all, xyz_all), lam, cost0), None, length=iters
+            lm_iter,
+            ((Tcw_all, xyz_all), acc0, lam, cost0, chi20, zok0),
+            None, length=iters,
         )
-        (Tcw_all, xyz_all), lam, _ = st
-        _, _, _, chi2, z_ok = _edge_terms(Tcw_all, xyz_all, cam, p)
+        (Tcw_all, xyz_all), _, lam, _, chi2, z_ok = st
+        # chi2/z_ok carried from the last ACCEPTED state == the returned
+        # state, so the round-end reclassification needs no new terms.
         new_active = p.e_ok & (joint_chi2(chi2, p.e_ok & z_ok) <= chi2_gate) & z_ok
         return ((Tcw_all, xyz_all), new_active, lam), None
 

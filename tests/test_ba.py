@@ -125,9 +125,24 @@ def test_ba_rejects_outliers():
     assert inl[bad].mean() < 0.1
     mask = np.ones(E, bool); mask[bad] = False
     assert inl[mask].mean() > 0.9
-    for c in range(1, Tcw_gt.shape[0]):
-        dt = np.asarray(res.Tcw[c])[:3, 3] - Tcw_gt[c][:3, 3]
-        assert np.linalg.norm(dt) < 0.03, (c, dt)
+    # Mono problem with a single frozen camera: global SCALE about the
+    # anchor is a genuine gauge freedom (solutions along it have equal
+    # chi2 — observed: a float summation-order change slid the result
+    # 0.015 -> 0.15 along it at identical total chi2). Gate the
+    # gauge-ALIGNED error, like every mono evaluation (the reference's
+    # own report aligns with Horn, report p.1).
+    def center(T):
+        return -np.asarray(T)[:3, :3].T @ np.asarray(T)[:3, 3]
+
+    c0 = center(Tcw_gt[0])
+    est = np.stack([center(res.Tcw[c]) - c0
+                    for c in range(1, Tcw_gt.shape[0])])
+    gt = np.stack([center(Tcw_gt[c]) - c0
+                   for c in range(1, Tcw_gt.shape[0])])
+    s = float(np.sum(gt * est) / np.maximum(np.sum(est * est), 1e-12))
+    assert 0.8 < s < 1.2, s  # scale drift itself stays bounded
+    err = np.linalg.norm(s * est - gt, axis=-1)
+    assert err.max() < 0.03, err
 
 
 def test_ba_fixed_cameras_anchor():
