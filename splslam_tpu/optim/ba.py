@@ -43,6 +43,26 @@ from splslam_tpu.geometry.camera import Camera
 
 _HI = jax.lax.Precision.HIGHEST
 
+def _triu_maps(n: int):
+    """(pack, unpack) index maps between a row-major flattened symmetric
+    [n,n] block and its upper-triangle vector of n(n+1)/2 entries."""
+    pack, slot = [], {}
+    k = 0
+    for i in range(n):
+        for j in range(i, n):
+            pack.append(i * n + j)
+            slot[(i, j)] = k
+            k += 1
+    unpack = [slot[(min(i, j), max(i, j))]
+              for i in range(n) for j in range(n)]
+    import numpy as _np
+
+    return (_np.asarray(pack, _np.int32), _np.asarray(unpack, _np.int32))
+
+
+_TRIU6, _FULL6 = _triu_maps(6)
+_TRIU3, _FULL3 = _triu_maps(3)
+
 CHI2_MONO = 5.991    # 2-dof 95% (reference Optimizer.cc:2591)
 CHI2_STEREO = 7.815  # 3-dof 95% (reference Optimizer.cc:2592)
 CHI2_LINE = 3.841    # 1-dof 95% per line-endpoint edge
@@ -323,32 +343,41 @@ def ba_solve(
         # leading free block AND not frozen (gauge anchors, e.g. keyframe 0 —
         # reference Optimizer.cc:2518 setFixed for mnId==0). Frozen cameras
         # still constrain landmarks through Hpp/bp (band Cf of the joint
-        # buffer; see the fused-scatter note above).
+        # buffer; see the fused-scatter note above). Hcc_e/Hpp_e are
+        # symmetric, so only their upper triangles ride the scatter
+        # (21+6 instead of 36+9 — the scatter is pure bandwidth).
         payload = jnp.concatenate(
-            [Hcc_e.reshape(-1, 36), g_c,
-             Hpp_e.reshape(-1, 9), g_p,
-             Hcp_e.reshape(-1, 18)], axis=-1)             # [E,72]
-        acc = jnp.zeros(((Cf + 1) * L, 72)).at[cl_sorted].add(
+            [Hcc_e.reshape(-1, 36)[:, _TRIU6], g_c,
+             Hpp_e.reshape(-1, 9)[:, _TRIU3], g_p,
+             Hcp_e.reshape(-1, 18)], axis=-1)             # [E,54]
+        acc = jnp.zeros(((Cf + 1) * L, 54)).at[cl_sorted].add(
             payload[perm_cl], indices_are_sorted=True, mode="drop"
-        ).reshape(Cf + 1, L, 72)
+        ).reshape(Cf + 1, L, 54)
+        # Reduce to the normal-equation system HERE (none of it depends
+        # on the damping), so LM iterations that retry a cached
+        # linearization skip the cell-buffer reductions and the W
+        # transpose entirely; the carried system is ~5 MB.
+        acc_c = jnp.sum(acc[:Cf, :, :27], axis=1)         # [Cf,27]
+        Hcc = acc_c[:, _FULL6].reshape(Cf, 6, 6)
+        bc = acc_c[:, 21:]
+        acc_p = jnp.sum(acc[:, :, 27:36], axis=0)         # [L,9]
+        Hpp = acc_p[:, _FULL3].reshape(L, 3, 3)
+        bp = acc_p[:, 6:]
+        # Dense cross blocks W[c,l] (exact: one obs per (c,l) pair),
+        # stored directly in the flattened GEMM layout [Cf*6, L*3].
+        W2 = acc[:Cf, :, 36:].reshape(Cf, L, 6, 3).transpose(
+            0, 2, 1, 3).reshape(Cf * 6, L * 3)
         d2 = huber_d2
         rho = jnp.where(
             chi2 <= d2, chi2, 2.0 * jnp.sqrt(d2 * jnp.maximum(chi2, 0.0)) - d2
         )
         cost = jnp.sum(jnp.where(live, rho, 0.0))
-        return acc, cost, chi2, z_ok
+        return (Hcc, bc, Hpp, bp, W2), cost, chi2, z_ok
 
-    def gn_step(state, acc, lam):
-        """Propose an LM step from a CACHED linearization `acc`."""
+    def gn_step(state, sys, lam):
+        """Propose an LM step from a CACHED linearization `sys`."""
         Tcw_all, xyz_all = state
-        acc_c = jnp.sum(acc[:Cf, :, :42], axis=1)         # [Cf,42]
-        Hcc = acc_c[:, :36].reshape(Cf, 6, 6)
-        bc = acc_c[:, 36:]
-        acc_p = jnp.sum(acc[:, :, 42:54], axis=0)         # [L,12]
-        Hpp = acc_p[:, :9].reshape(L, 3, 3)
-        bp = acc_p[:, 9:]
-        # Dense cross blocks W[c,l] (one obs per (c,l) pair).
-        W = acc[:Cf, :, 54:].reshape(Cf, L, 6, 3)
+        Hcc, bc, Hpp, bp, W2 = sys
 
         lm_active = p.lm_ok & (jnp.diagonal(Hpp, axis1=1, axis2=2).sum(-1) > 0)
         # LM damping: multiplicative on the block diagonals (plus a floor
@@ -363,12 +392,15 @@ def ba_solve(
         iHpp = _inv3(Hpp_d)  # [L,3,3] closed-form batched inverse
 
         # Schur: S = Hcc - W iHpp W^T ; rhs = bc - W iHpp bp.
-        # WiH by broadcast-sum; the (l,m)-contractions as ONE real GEMM
-        # over the flattened [Cf*6, L*3] layout (MXU-shaped, unlike the
-        # 4-index einsum which lowers to L tiny matmuls).
-        WiH = _bsum(W[:, :, :, :, None], iHpp[None, :, None, :, :], 3)
-        WiH2 = WiH.transpose(0, 2, 1, 3).reshape(Cf * 6, L * 3)
-        W2 = W.transpose(0, 2, 1, 3).reshape(Cf * 6, L * 3)
+        # WiH by broadcast-sum in W2's own [Cf*6, L, 3] view (no
+        # transposes on the iteration path); the (l,m)-contractions as
+        # ONE real GEMM over the flattened [Cf*6, L*3] layout
+        # (MXU-shaped, unlike the 4-index einsum which lowers to L tiny
+        # matmuls).
+        W2v = W2.reshape(Cf * 6, L, 3)
+        WiH2 = jnp.sum(
+            W2v[:, :, :, None] * iHpp[None, :, :, :], axis=2
+        ).reshape(Cf * 6, L * 3)
         S = jnp.dot(WiH2, W2.T, precision=_HI)            # [Cf6, Cf6]
         S_full = jnp.zeros((Cf, 6, Cf, 6))
         S_full = S_full.at[jnp.arange(Cf), :, jnp.arange(Cf), :].add(Hcc)
@@ -418,12 +450,12 @@ def ba_solve(
         # step retries the cached system with higher damping — the same
         # solve sequence as re-deriving identical terms at the unchanged
         # state, minus the rederivation.
-        acc0, cost0, chi20, zok0 = assemble(Tcw_all, xyz_all, active)
+        sys0, cost0, chi20, zok0 = assemble(Tcw_all, xyz_all, active)
 
         def lm_iter(st, _):
-            (Tcw_c, xyz_c), acc_c, lam_c, cost_c, chi2_c, zok_c = st
-            cand = gn_step((Tcw_c, xyz_c), acc_c, lam_c)
-            acc_n, cost_new, chi2_n, zok_n = assemble(cand[0], cand[1],
+            (Tcw_c, xyz_c), sys_c, lam_c, cost_c, chi2_c, zok_c = st
+            cand = gn_step((Tcw_c, xyz_c), sys_c, lam_c)
+            sys_n, cost_new, chi2_n, zok_n = assemble(cand[0], cand[1],
                                                       active)
             accept = cost_new < cost_c
             Tcw_n = jnp.where(accept, cand[0], Tcw_c)
@@ -432,7 +464,8 @@ def ba_solve(
                 jnp.where(accept, lam_c * 0.5, lam_c * 4.0), 1e-6, 1e6
             )
             return ((Tcw_n, xyz_n),
-                    jnp.where(accept, acc_n, acc_c),
+                    jax.tree.map(lambda a, b: jnp.where(accept, a, b),
+                                 sys_n, sys_c),
                     lam_n,
                     jnp.where(accept, cost_new, cost_c),
                     jnp.where(accept, chi2_n, chi2_c),
@@ -440,7 +473,7 @@ def ba_solve(
 
         st, _ = jax.lax.scan(
             lm_iter,
-            ((Tcw_all, xyz_all), acc0, lam, cost0, chi20, zok0),
+            ((Tcw_all, xyz_all), sys0, lam, cost0, chi20, zok0),
             None, length=iters,
         )
         (Tcw_all, xyz_all), _, lam, _, chi2, z_ok = st
