@@ -584,6 +584,22 @@ def ba_solve_pcg(
     chi2_gate, huber_d2, joint_chi2 = _gates(p)
     free_f = p.cam_free.astype(jnp.float32)[:, None]
 
+    # Segment reductions over the map-sized edge table (two per CG
+    # iteration), deliberately UNSORTED scatter-adds: measured on-chip
+    # at E=512k, a hoisted argsort + per-matvec gather into a sorted
+    # scatter is SLOWER than the plain unsorted scatter-add (5.66 s vs
+    # 4.38 s per 2-round solve) — the per-matvec [E,3]/[E,6] permutation
+    # gathers outweigh the scatter saving, unlike the local solver where
+    # ONE 54-wide fused scatter amortizes a single gather per
+    # linearization. indices_are_sorted on e_cam is also off: the table
+    # is camera-major per BLOCK, but add_line_edges appends a second
+    # camera-major block, so the combined key is not monotonic.
+    def seg_lm(x, width):
+        return jnp.zeros((L, width)).at[p.e_lm].add(x, mode="drop")
+
+    def seg_cam(x, width):
+        return jnp.zeros((C, width)).at[p.e_cam].add(x, mode="drop")
+
     def gn_step(state, active):
         Tcw_all, xyz_all = state
         r, J_c, J_p, chi2, z_ok = _edge_terms(Tcw_all, xyz_all, cam, p)
@@ -600,10 +616,10 @@ def ba_solve_pcg(
         g_c = jnp.einsum("eik,e,ei->ek", J_c, wf, r, precision=_HI)
         g_p = jnp.einsum("eik,e,ei->ek", J_p, w, r, precision=_HI)
 
-        Hcc = jnp.zeros((C, 6, 6)).at[p.e_cam].add(Hcc_e, mode="drop")
-        bc = jnp.zeros((C, 6)).at[p.e_cam].add(g_c, mode="drop")
-        Hpp = jnp.zeros((L, 3, 3)).at[p.e_lm].add(Hpp_e, mode="drop")
-        bp = jnp.zeros((L, 3)).at[p.e_lm].add(g_p, mode="drop")
+        Hcc = seg_cam(Hcc_e.reshape(-1, 36), 36).reshape(C, 6, 6)
+        bc = seg_cam(g_c, 6)
+        Hpp = seg_lm(Hpp_e.reshape(-1, 9), 9).reshape(L, 3, 3)
+        bp = seg_lm(g_p, 3)
 
         lm_active = p.lm_ok & (jnp.diagonal(Hpp, axis1=1, axis2=2).sum(-1) > 0)
         dHpp = jnp.eye(3)[None] * jnp.maximum(
@@ -623,17 +639,17 @@ def ba_solve_pcg(
             """v: [C,6] -> S v (free cameras; frozen rows pass through)."""
             ve = v[p.e_cam]                                     # [E,6]
             wt = jnp.einsum("ekl,ek->el", G, ve, precision=_HI)  # [E,3]
-            u = jnp.zeros((L, 3)).at[p.e_lm].add(wt, mode="drop")
+            u = seg_lm(wt, 3)
             u = jnp.einsum("lkm,lm->lk", iHpp, u, precision=_HI)
             back = jnp.einsum("ekl,el->ek", G, u[p.e_lm], precision=_HI)
-            Wv = jnp.zeros((C, 6)).at[p.e_cam].add(back, mode="drop")
+            Wv = seg_cam(back, 6)
             Hv = jnp.einsum("ckl,cl->ck", Hcc_d, v, precision=_HI)
             return (Hv - Wv) * free_f + v * (1.0 - free_f)
 
         # rhs = bc - W iHpp bp
         u0 = jnp.einsum("lkm,lm->lk", iHpp, bp, precision=_HI)
         back0 = jnp.einsum("ekl,el->ek", G, u0[p.e_lm], precision=_HI)
-        rhs = (bc - jnp.zeros((C, 6)).at[p.e_cam].add(back0, mode="drop"))
+        rhs = (bc - seg_cam(back0, 6))
         rhs = -rhs * free_f
 
         # Jacobi-preconditioned CG on S dx = rhs.
@@ -666,7 +682,7 @@ def ba_solve_pcg(
         # Back-substitute landmarks.
         ve = dx_c[p.e_cam]
         wt = jnp.einsum("ekl,ek->el", G, ve, precision=_HI)
-        Wt_dxc = jnp.zeros((L, 3)).at[p.e_lm].add(wt, mode="drop")
+        Wt_dxc = seg_lm(wt, 3)
         dx_p = jnp.einsum("lkm,lm->lk", iHpp, -(bp + Wt_dxc), precision=_HI)
         dx_p = jnp.where(
             (lm_active & jnp.all(jnp.isfinite(dx_p), -1))[:, None], dx_p, 0.0
