@@ -557,27 +557,37 @@ class LoopCloser:
         from splslam_tpu.slam.mapping_ops import add_line_edges
 
         st = sys.map
-        K = st.kfs.Tcw.shape[0]
+        K_cap = st.kfs.Tcw.shape[0]
+        # Keyframe-axis bucketing: the edge table is K x N rows, and a
+        # small map solved at full capacity pays for every padded row
+        # (measured: a 12-KF map at K=256 capacity is a 512k-edge,
+        # ~4 s GBA). Slice the KF tables to the next power of two >= the
+        # LIVE keyframe count (floor 32 keeps the compile-cache bucket
+        # count small); rows past K stay untouched on write-back. The
+        # landmark axis is NOT bucketed — lm_idx values index the full
+        # point table.
+        K = min(K_cap, max(32, 1 << (max(int(sys.n_kfs), 1) - 1).bit_length()))
         N = st.kfs.lm_idx.shape[1]
-        lm_rows = st.kfs.lm_idx
+        lm_rows = st.kfs.lm_idx[:K]
+        kf_valid = st.kfs.valid[:K]
         e_ok = (
             (lm_rows >= 0)
-            & st.kfs.fvalid
+            & st.kfs.fvalid[:K]
             & st.pts.valid[jnp.clip(lm_rows, 0)]
-            & st.kfs.valid[:, None]
+            & kf_valid[:, None]
         )
         prob = BAProblem(
-            Tcw=st.kfs.Tcw,
-            cam_free=st.kfs.valid & (jnp.arange(K) != 0),
+            Tcw=st.kfs.Tcw[:K],
+            cam_free=kf_valid & (jnp.arange(K) != 0),
             xyz=st.pts.xyz,
             lm_ok=st.pts.valid,
             e_cam=jnp.broadcast_to(
                 jnp.arange(K, dtype=jnp.int32)[:, None], (K, N)
             ).reshape(-1),
             e_lm=jnp.clip(lm_rows, 0).reshape(-1),
-            e_uv=st.kfs.xy.reshape(-1, 2),
-            e_ur=jnp.where(e_ok, st.kfs.u_right, -1.0).reshape(-1),
-            e_inv_sigma2=(1.0 / st.kfs.sigma2).reshape(-1),
+            e_uv=st.kfs.xy[:K].reshape(-1, 2),
+            e_ur=jnp.where(e_ok, st.kfs.u_right[:K], -1.0).reshape(-1),
+            e_inv_sigma2=(1.0 / st.kfs.sigma2[:K]).reshape(-1),
             e_ok=e_ok.reshape(-1),
         )
         P = st.pts.xyz.shape[0]
@@ -585,7 +595,7 @@ class LoopCloser:
         use_lines = with_lines and st.kfs.ll_idx.shape[1] > 0
         if use_lines:
             cam_ids = jnp.where(
-                st.kfs.valid, jnp.arange(K, dtype=jnp.int32), -1
+                kf_valid, jnp.arange(K, dtype=jnp.int32), -1
             )
             ln_ids = jnp.where(
                 st.lns.valid, jnp.arange(Q, dtype=jnp.int32), -1
@@ -637,7 +647,7 @@ class LoopCloser:
                 constrained[:, None, None], opt_triple, new_lxyz
             )
         sys.map = sys.map._replace(
-            kfs=st.kfs._replace(Tcw=res.Tcw),
+            kfs=st.kfs._replace(Tcw=st.kfs.Tcw.at[:K].set(res.Tcw)),
             pts=st.pts._replace(xyz=res.xyz[:P]),
             lns=lns._replace(xyz=new_lxyz),
         )
