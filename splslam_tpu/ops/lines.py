@@ -40,6 +40,8 @@ import jax
 import jax.numpy as jnp
 
 N_WORDS = 8
+SEED_CAP = 512          # strongest seeds marched per octave (see
+#                         _detect_level: the march is the dominant cost)
 MAX_STEPS = 64          # max half-length of a segment, pixels
 #                         (longer structure is recovered at coarser octaves)
 ANGLE_TOL = 0.35        # rad, level-line angle agreement (covers
@@ -302,6 +304,21 @@ def _detect_level(
     # One refinement pass: local-mean gradient orientation is far more
     # stable than the pointwise gradient at the seed.
     seed_angle = _refine_direction(seeds, seed_angle, gx, gy)
+
+    # Compact to the strongest SEED_CAP seeds BEFORE the march: the
+    # growth passes are the detector's dominant cost (gather-bound, paid
+    # per seed lane whether or not the seed is alive), and at L0 the
+    # per-cell grid yields ~1080 candidates of which the sub-threshold
+    # majority can only ever produce min_length failures. Top-by-
+    # magnitude keeps 4x the post-merge level cap and 8x the final
+    # table capacity — a scene would need >512 cells with genuinely
+    # strong edges before this cap could cost a real line.
+    if seeds.shape[0] > SEED_CAP:
+        _, si = jax.lax.top_k(jnp.where(seed_ok, cmax, -1.0), SEED_CAP)
+        seeds = seeds[si]
+        cmax = cmax[si]
+        seed_ok = seed_ok[si]
+        seed_angle = seed_angle[si]
 
     # --- bidirectional growth, twice: the second pass re-marches from the
     # first run's CENTER with a direction refit there, so the recovered
