@@ -58,7 +58,8 @@ def main() -> None:
     import jax
     import numpy as np_
 
-    def run_pass(timed: bool) -> float:
+    def run_pass(timed: bool, using_line: bool = True,
+                 allow_lost: bool = False):
         """One full pass over the sequence with a fresh System. The first
         (untimed) pass compiles every program the run will touch —
         including the data-dependent keyframe-insertion path — so the
@@ -69,7 +70,8 @@ def main() -> None:
             cy=float(K[1, 2]), bf=0.0, width=W, height=H,
             n_features=1000, n_levels=8, fps=30.0,
             max_points=16384, max_keyframes=128, local_window=2048,
-            using_line=True, line_features=128, batch_defer_stats=True,
+            using_line=using_line, line_features=128,
+            batch_defer_stats=True,
             enable_local_mapping=False, min_kf_gap=20,
         )
         sysm = System(st, Sensor.MONOCULAR)
@@ -99,21 +101,49 @@ def main() -> None:
             print(f"batch @{s}: dispatched state={sysm.state.name}",
                   file=sys.stderr)
             # A LOST excursion would time the reloc path instead of
-            # steady tracking — fail loudly, don't report garbage.
+            # steady tracking — fail loudly, don't report garbage
+            # (except in the ablation pass, where LOST is a result).
+            if allow_lost and sysm.state.name != "OK":
+                return None, s
             assert sysm.state.name == "OK", f"tracking {sysm.state} at {s}"
         sysm.drain()
         wall = time.perf_counter() - t0
         assert sysm.get_tracking_state().name == "OK", sysm.state
-        return wall * 1000.0 / max(n_timed, 1)
+        return wall * 1000.0 / max(n_timed, 1), None
 
     run_pass(timed=False)   # compile pass
-    ms = min(run_pass(timed=True) for _ in range(2))
+    ms = min(run_pass(timed=True)[0] for _ in range(2))
     print(json.dumps({
         "metric": "tum_mono_line_tracking_ms_per_frame",
         "value": round(ms, 2),
         "unit": "ms",
         "vs_baseline": round(BASELINE_MS / ms, 2),
     }))
+    # Supplementary usingLine=0 ablation (stderr; the reference's own
+    # A/B switch, System.usingLine — SURVEY SS4.3). Two possible
+    # outcomes, both informative: a per-frame cost delta for the line
+    # pipeline, or — as measured on this scene — the points-only run
+    # LOSES TRACKING where point+line holds (the reference's Tables 5-6
+    # story, here on the timing benchmark's own sequence).
+    _, lost0 = run_pass(timed=False, using_line=False, allow_lost=True)
+    if lost0 is not None:
+        print(json.dumps({
+            "metric": "tum_mono_points_only_ms_per_frame",
+            "value": None,
+            "points_only_lost_at_frame": lost0,
+            "note": "points-only tracking is LOST where point+line "
+                    "holds the full sequence",
+        }), file=sys.stderr)
+    else:
+        ms_pts = min(
+            run_pass(timed=True, using_line=False, allow_lost=True)[0]
+            for _ in range(2))
+        print(json.dumps({
+            "metric": "tum_mono_points_only_ms_per_frame",
+            "value": round(ms_pts, 2),
+            "unit": "ms",
+            "line_pipeline_cost_ms": round(ms - ms_pts, 2),
+        }), file=sys.stderr)
 
 
 if __name__ == "__main__":
