@@ -69,7 +69,7 @@ orig_on_kf = lc.on_keyframe
 def on_kf_logged(kf):
     import numpy as np
     from splslam_tpu.slam import reloc
-    from splslam_tpu.bow.vocabulary import score_l1
+    from splslam_tpu.bow.vocabulary import densify_bow_row, score_rows
 
     sys_ = lc.sys
     print(f"[loop] on_keyframe kf={kf} n_kfs={sys_.n_kfs} "
@@ -79,14 +79,16 @@ def on_kf_logged(kf):
         return
     cov = np.array(LC._covisible_mask(sys_.map, jnp.int32(kf)))
     cov[kf] = True
-    query = sys_.kf_bow[kf]
+    query = densify_bow_row(
+        sys_.kf_bow.ids, sys_.kf_bow.vals, kf, sys_.bow_n_words)
     cov_idx = [c for c in range(sys_.n_kfs) if cov[c] and c != kf]
     if cov_idx:
-        cov_scores = np.asarray(
-            score_l1(query, sys_.kf_bow[jnp.asarray(cov_idx)]))
+        rows = jnp.asarray(cov_idx)
+        cov_scores = np.asarray(score_rows(
+            sys_.kf_bow.ids[rows], sys_.kf_bow.vals[rows], query))
         min_score = float(cov_scores.min())
         scores = np.asarray(reloc.reloc_scores(
-            sys_.kf_bow, sys_.map.kfs.valid, query,
+            sys_.kf_bow.ids, sys_.kf_bow.vals, sys_.map.kfs.valid, query,
             jnp.asarray(cov)))[: sys_.n_kfs]
         cands = [c for c in np.argsort(scores)[::-1]
                  if scores[c] >= max(min_score, 1e-3)]

@@ -102,7 +102,8 @@ def train(descriptors: np.ndarray, k: int = 10, depth: int = 3,
         # of each sample's parent; fully vectorized across parents) ---
         child = np.zeros(N, np.int64)
         cand_base = (assign * k).astype(np.int64)
-        for _ in range(iters):
+
+        def assign_pass() -> None:
             centers_u64 = np.ascontiguousarray(
                 _pack_np(centers_bits)).view(np.uint64)  # [n_nodes,4]
             for c0 in range(0, N, CHUNK):
@@ -112,6 +113,9 @@ def train(descriptors: np.ndarray, k: int = 10, depth: int = 3,
                     u64[c0:c1, None, :] ^ centers_u64[cand]
                 ).sum(-1)                                # [n,k]
                 child[c0:c1] = cand[np.arange(c1 - c0), d.argmin(1)]
+
+        for _ in range(iters):
+            assign_pass()
             # recenter: majority bit per cluster
             cnt = np.bincount(child, minlength=n_nodes)
             sums = np.empty((n_nodes, 256), np.int64)
@@ -123,6 +127,13 @@ def train(descriptors: np.ndarray, k: int = 10, depth: int = 3,
             centers_bits[live] = (
                 sums[live] * 2 >= cnt[live, None]
             ).astype(np.uint8)
+        # One closing assignment against the FINAL recentred centers so the
+        # stored tree, the next level's parent partition, and the idf
+        # occupancy below all agree with what query-time transform will
+        # compute (otherwise they lag the last recenter by a half Lloyd
+        # step: words that gained/lost members in the final recenter would
+        # get idf for the wrong occupancy).
+        assign_pass()
         assign = child
         if verbose:
             occ = int((np.bincount(assign, minlength=n_nodes) > 0).sum())
@@ -248,9 +259,43 @@ def transform_words(vocab: Vocab, desc: jax.Array, valid: jax.Array) -> jax.Arra
     )
 
 
-@partial(jax.jit, static_argnames=("k", "depth"), donate_argnames=("kf_bow",))
+class BowTable(NamedTuple):
+    """The KeyFrameDatabase's inverted file as a SPARSE per-keyframe
+    word list (reference include/KeyFrameDatabase.h:66 keeps word ->
+    list<KeyFrame*>; we keep the transpose, keyframe -> words, which a
+    gather turns back into per-query scores).
+
+    A dense [K, W] score matrix is exact but scales as
+    max_keyframes x n_words: 400 MB of f32 at K=1024 with the bundled
+    10^5-word vocabulary, all of it read on every loop/reloc query. A
+    keyframe can touch at most S = feature-capacity distinct words, so
+    [K, S] ids + values (~16 MB at K=1024, S=2000) carry the identical
+    information; `score_rows` reproduces the dense L1 scores exactly
+    (min(q_w, r_w) = 0 wherever either side lacks the word).
+
+    ids:  [K, S] i32 word ids, ascending per row; empty slots hold the
+          out-of-vocabulary sentinel W (NOT -1 — scatter/gather `drop`
+          does not drop negative indices on this install, see NOTES).
+    vals: [K, S] f32 tf-idf weights, L1-normalized per row; 0 at
+          sentinel slots.
+    """
+
+    ids: jax.Array
+    vals: jax.Array
+
+    @staticmethod
+    def empty(n_kf: int, n_slots: int, n_words: int) -> "BowTable":
+        return BowTable(
+            jnp.full((n_kf, n_slots), n_words, jnp.int32),
+            jnp.zeros((n_kf, n_slots), jnp.float32),
+        )
+
+
+@partial(jax.jit, static_argnames=("k", "depth"),
+         donate_argnames=("ids", "vals"))
 def update_bow_row(
-    kf_bow: jax.Array,
+    ids: jax.Array,
+    vals: jax.Array,
     level_desc: tuple,
     weights: jax.Array,
     k: int,
@@ -258,17 +303,43 @@ def update_bow_row(
     desc: jax.Array,
     valid: jax.Array,
     row: jax.Array,
-) -> jax.Array:
-    """Fused transform + tf-idf vector + row write: ONE device dispatch
-    per keyframe (an eager tree descent costs ~20 tunnel round trips)."""
+) -> tuple[jax.Array, jax.Array]:
+    """Fused transform + tf-idf + sparse row write: ONE device dispatch
+    per keyframe (an eager tree descent costs ~20 tunnel round trips).
+
+    Duplicate words across features are aggregated through one dense
+    [W+1] scratch (a single scatter-add), then compacted: sort word ids,
+    keep first occurrences, gather the summed weights back."""
     words = _descend(level_desc, k, depth, desc, valid)
-    W = kf_bow.shape[1]
+    W = weights.shape[0]
     ok = words >= 0
-    v = jnp.zeros((W,)).at[jnp.clip(words, 0)].add(
+    wc = jnp.where(ok, words, W)
+    dense = jnp.zeros((W + 1,)).at[wc].add(
         jnp.where(ok, weights[jnp.clip(words, 0)], 0.0)
-    )
-    v = v / jnp.maximum(jnp.sum(v), 1e-9)
-    return kf_bow.at[row].set(v)
+    ).at[W].set(0.0)
+    norm = jnp.maximum(jnp.sum(dense), 1e-9)
+    ws = jnp.sort(wc)
+    first = jnp.concatenate(
+        [jnp.ones((1,), bool), ws[1:] != ws[:-1]]
+    ) & (ws < W)
+    uniq = jnp.sort(jnp.where(first, ws, W))[: ids.shape[1]]
+    v = dense[uniq] / norm          # sentinel rows gather dense[W] = 0
+    return ids.at[row].set(uniq), vals.at[row].set(v)
+
+
+def score_rows(ids: jax.Array, vals: jax.Array,
+               query: jax.Array) -> jax.Array:
+    """DBoW2 L1 score of a dense [W] query against sparse rows:
+    [K,S] ids/vals -> [K]. Exact: sum over the intersection of minima
+    (words on one side only contribute min(x, 0) = 0)."""
+    qp = jnp.concatenate([query, jnp.zeros((1,), query.dtype)])
+    return jnp.sum(jnp.minimum(qp[ids], vals), axis=-1)
+
+
+def densify_bow_row(ids: jax.Array, vals: jax.Array, row,
+                    n_words: int) -> jax.Array:
+    """One sparse row -> dense [W] vector (for use as a query)."""
+    return jnp.zeros((n_words + 1,)).at[ids[row]].add(vals[row])[:n_words]
 
 
 @partial(jax.jit, static_argnames=("k", "depth"))

@@ -24,7 +24,7 @@ import jax.numpy as jnp
 from splslam_tpu.ops.orb import OrbFeatures
 from splslam_tpu.ops.lines import LineFeatures
 from splslam_tpu.slam.frame import FrameData
-from splslam_tpu.slam.map import MapState, scale_band
+from splslam_tpu.slam.map import MapState
 from splslam_tpu.slam.pipeline import StepState
 
 
@@ -56,9 +56,10 @@ def make_synthetic_map(
     scale_factor: float = 1.2,
     seed: int = 0,
 ):
-    """Returns (MapState, Camera-args dict, FrameData next frame,
-    StepState, Tcw_next). Forward-motion map: cameras at z = -k*spacing
-    (world), landmarks in two depth bands ahead."""
+    """Returns (MapState, FrameData next frame, tracking StepState
+    seeded at the next pose, Tcw_next [4,4]). Forward-motion map:
+    cameras at z = -k*spacing (world), landmarks in two depth bands
+    ahead."""
     rng = np.random.default_rng(seed)
     fy, cx, cy = fx, width / 2.0, height / 2.0
     bf = fx * baseline

@@ -397,19 +397,25 @@ class LoopCloser:
 
         cov = np.array(_covisible_mask(sys.map, jnp.int32(kf)))
         cov[kf] = True
-        query = sys.kf_bow[kf]
+        from splslam_tpu.bow.vocabulary import densify_bow_row, score_rows
+
+        query = densify_bow_row(
+            sys.kf_bow.ids, sys.kf_bow.vals, kf, sys.bow_n_words
+        )
         # minScore: lowest BoW similarity within the covisible group
         # (reference :121-135).
         cov_idx = [c for c in range(sys.n_kfs) if cov[c] and c != kf]
         if not cov_idx:
             return
-        from splslam_tpu.bow.vocabulary import score_l1
-
-        cov_scores = np.asarray(score_l1(query, sys.kf_bow[jnp.asarray(cov_idx)]))
+        rows = jnp.asarray(cov_idx)
+        cov_scores = np.asarray(
+            score_rows(sys.kf_bow.ids[rows], sys.kf_bow.vals[rows], query)
+        )
         min_score = float(cov_scores.min())
         scores = np.asarray(
             reloc.reloc_scores(
-                sys.kf_bow, sys.map.kfs.valid, query, jnp.asarray(cov)
+                sys.kf_bow.ids, sys.kf_bow.vals, sys.map.kfs.valid,
+                query, jnp.asarray(cov)
             )
         )[: sys.n_kfs]
         cands = [c for c in np.argsort(scores)[::-1]
@@ -592,7 +598,10 @@ class LoopCloser:
         )
         P = st.pts.xyz.shape[0]
         Q = st.lns.xyz.shape[0]
-        use_lines = with_lines and st.kfs.ll_idx.shape[1] > 0
+        # Capacity > 1: a lines-disabled system carries a 1-slot dummy
+        # line table (system.py line_cap=1), matching track_step's
+        # `with_lines = Lc > 1` convention.
+        use_lines = with_lines and st.kfs.ll_idx.shape[1] > 1
         if use_lines:
             cam_ids = jnp.where(
                 kf_valid, jnp.arange(K, dtype=jnp.int32), -1

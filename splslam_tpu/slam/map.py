@@ -74,10 +74,11 @@ class MapLines(NamedTuple):
     n_obs: jax.Array      # [Q] i32
     first_kf: jax.Array   # [Q] i32
     valid: jax.Array      # [Q] bool
-    octave: jax.Array     # [Q] i32 detection octave at the owning KF
-    #                       (reference KeyLine.octave via the observing
-    #                       keyframe; feeds the same-or-finer scale gate
-    #                       of line keyframe-culling, LocalMapping.cc:1577)
+    # NOTE: detection octaves live per OBSERVATION (KeyFrames.loctave),
+    # not here — the reference's line keyframe-culling scale gate
+    # compares the octaves of the observing keyframes' keylines
+    # (src/LocalMapping.cc:1577-1625), so a single per-landmark octave
+    # would be both redundant and stale after fusion.
 
     @staticmethod
     def empty(q: int) -> "MapLines":
@@ -90,7 +91,6 @@ class MapLines(NamedTuple):
             n_obs=jnp.zeros((q,), jnp.int32),
             first_kf=jnp.zeros((q,), jnp.int32),
             valid=jnp.zeros((q,), bool),
-            octave=jnp.zeros((q,), jnp.int32),
         )
 
 

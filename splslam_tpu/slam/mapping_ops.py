@@ -589,7 +589,6 @@ def create_new_lines(
             n_found=lns.n_found.at[sl].set(1, mode="drop"),
             first_kf=lns.first_kf.at[sl].set(kf, mode="drop"),
             valid=lns.valid.at[sl].set(True, mode="drop"),
-            octave=lns.octave.at[sl].set(kfs.loctave[kf], mode="drop"),
         )
         ll_kf = jnp.where(create, slots.astype(jnp.int32), kfs.ll_idx[kf])
         nb_col = jnp.clip(mt, 0)

@@ -204,7 +204,6 @@ def create_initial_map(
         n_found=st.lns.n_found.at[lsl].set(2, mode="drop"),
         first_kf=st.lns.first_kf.at[lsl].set(0, mode="drop"),
         valid=st.lns.valid.at[lsl].set(True, mode="drop"),
-        octave=st.lns.octave.at[lsl].set(f1.lines.octave, mode="drop"),
     )
     st = st._replace(lns=lns, n_lns=jnp.sum(lcreate.astype(jnp.int32)))
     ll1 = jnp.where(lcreate, lslot, -1)

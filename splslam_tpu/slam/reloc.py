@@ -34,12 +34,15 @@ from splslam_tpu.slam.frame import FrameData
 
 @jax.jit
 def reloc_scores(
-    bow_mat: jax.Array,   # [K,W] keyframe BoW rows
+    bow_ids: jax.Array,   # [K,S] sparse keyframe word ids (BowTable)
+    bow_vals: jax.Array,  # [K,S] tf-idf values
     kf_valid: jax.Array,  # [K]
-    query: jax.Array,     # [W]
+    query: jax.Array,     # [W] dense L1-normalized query
     exclude: jax.Array,   # [K] bool — e.g. covisible KFs for loop queries
 ) -> jax.Array:
-    s = jnp.sum(jnp.minimum(bow_mat, query[None, :]), axis=-1)
+    from splslam_tpu.bow.vocabulary import score_rows
+
+    s = score_rows(bow_ids, bow_vals, query)
     return jnp.where(kf_valid & ~exclude, s, -1.0)
 
 

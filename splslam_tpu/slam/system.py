@@ -265,14 +265,22 @@ class System:
         self._pending_kf_out = None          # async keyframe-creation output
         self._th_depth_dev = jnp.float32(self.th_depth_m)
         self.timers = StageTimer()
-        # keyframe BoW matrix (the KeyFrameDatabase's inverted file as a
-        # dense [K,W] score table, reference include/KeyFrameDatabase.h:66)
+        # keyframe BoW table (the KeyFrameDatabase's inverted file,
+        # reference include/KeyFrameDatabase.h:66) — sparse per-KF word
+        # rows: [K, feat-capacity] ids + tf-idf values. A dense [K, W]
+        # matrix at the bundled 10^5-word vocabulary would be 100s of MB
+        # read on every query; the sparse rows score identically (see
+        # vocabulary.BowTable).
         if self.vocab is not None:
-            self.kf_bow = jnp.zeros(
-                (s.max_keyframes, self.vocab.n_words), jnp.float32
+            from splslam_tpu.bow.vocabulary import BowTable
+
+            self.kf_bow = BowTable.empty(
+                s.max_keyframes, n_feat, self.vocab.n_words
             )
+            self.bow_n_words = self.vocab.n_words
         else:
             self.kf_bow = None
+            self.bow_n_words = 0
         self._frames_lost = 0
 
     # ------------------------------------------------------------------
@@ -665,10 +673,11 @@ class System:
         from splslam_tpu.bow import vocabulary as V
 
         v = self.vocab
-        self.kf_bow = V.update_bow_row(
-            self.kf_bow, v.level_desc, v.weights, v.k, v.depth,
-            frame.feat.desc, frame.feat.valid, jnp.int32(kf),
+        ids, vals = V.update_bow_row(
+            self.kf_bow.ids, self.kf_bow.vals, v.level_desc, v.weights,
+            v.k, v.depth, frame.feat.desc, frame.feat.valid, jnp.int32(kf),
         )
+        self.kf_bow = V.BowTable(ids, vals)
 
     def _try_relocalize(self, step_state: StepState, ts: float) -> bool:
         from splslam_tpu.bow import vocabulary as V
@@ -681,7 +690,7 @@ class System:
             frame.feat.desc, frame.feat.valid,
         )
         scores = reloc.reloc_scores(
-            self.kf_bow, self.map.kfs.valid, query,
+            self.kf_bow.ids, self.kf_bow.vals, self.map.kfs.valid, query,
             jnp.zeros((self.settings.max_keyframes,), bool),
         )
         order = np.argsort(np.asarray(scores))[::-1][:3]
@@ -1015,7 +1024,8 @@ def save_map(system: "System", path: str) -> None:
     d["meta.n_kfs_host"] = np.int64(system.n_kfs)
     d["meta.ref_kf"] = np.int64(system.ref_kf)
     if system.kf_bow is not None:
-        d["meta.kf_bow"] = np.asarray(system.kf_bow)
+        d["meta.kf_bow_ids"] = np.asarray(system.kf_bow.ids)
+        d["meta.kf_bow_vals"] = np.asarray(system.kf_bow.vals)
     np.savez_compressed(path, **d)
 
 
@@ -1038,8 +1048,28 @@ def load_map(system: "System", path: str) -> None:
     system.map = m
     system.n_kfs = int(z["meta.n_kfs_host"])
     system.ref_kf = int(z["meta.ref_kf"])
-    if "meta.kf_bow" in z and system.kf_bow is not None:
-        system.kf_bow = jnp.asarray(z["meta.kf_bow"])
+    if "meta.kf_bow_ids" in z and system.kf_bow is not None:
+        from splslam_tpu.bow.vocabulary import BowTable
+
+        system.kf_bow = BowTable(
+            jnp.asarray(z["meta.kf_bow_ids"]),
+            jnp.asarray(z["meta.kf_bow_vals"]),
+        )
+    elif "meta.kf_bow" in z and system.kf_bow is not None:
+        # Back-compat: checkpoints written before the sparse BowTable
+        # stored the dense [K, W] matrix — compact each row.
+        from splslam_tpu.bow.vocabulary import BowTable
+
+        dense = np.asarray(z["meta.kf_bow"])
+        K, W = dense.shape
+        S = system.kf_bow.ids.shape[1]
+        ids = np.full((K, S), W, np.int32)
+        vals = np.zeros((K, S), np.float32)
+        for k in range(K):
+            nz = np.flatnonzero(dense[k])[:S]
+            ids[k, : len(nz)] = nz
+            vals[k, : len(nz)] = dense[k, nz]
+        system.kf_bow = BowTable(jnp.asarray(ids), jnp.asarray(vals))
     kf_Tcw = np.asarray(m.kfs.Tcw[: system.n_kfs])
     for k in range(system.n_kfs):
         system.kf_pose_host[k] = kf_Tcw[k]

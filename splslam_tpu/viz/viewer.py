@@ -59,6 +59,7 @@ class Viewer:
         self._stop_requested = threading.Event()
         self._stopped = threading.Event()
         self.n_rendered = 0
+        self._warned = False
         if out_dir:
             os.makedirs(out_dir, exist_ok=True)
 
@@ -113,15 +114,22 @@ class Viewer:
                     try:
                         self._render_tick(snap, fid, tick)
                         tick += 1
-                    except Exception:  # rendering must never kill tracking
-                        pass
+                    except Exception as exc:
+                        # Rendering must never kill tracking, but a 100%
+                        # failure rate (cv2 missing, out_dir unwritable)
+                        # should not be silent either: warn once.
+                        if not self._warned:
+                            self._warned = True
+                            import warnings
+                            warnings.warn(
+                                f"viewer render tick failed ({exc!r}); "
+                                "further failures suppressed")
             dt = time.perf_counter() - t0
             time.sleep(max(self.period - dt, 1e-3))
         self._finished.set()
 
     def _render_tick(self, image: np.ndarray, fid: int, tick: int):
         overlay = render_current_frame(self.system, image)
-        self.n_rendered += 1
         if self.show:
             import cv2
             cv2.imshow("SPL-SLAM (TPU): current frame", overlay)
@@ -130,6 +138,9 @@ class Viewer:
             import cv2
             cv2.imwrite(os.path.join(self.out_dir,
                                      f"frame_{fid:06d}.png"), overlay)
+        # counted only after the sinks succeeded, so n_rendered reflects
+        # frames actually delivered, not attempts
+        self.n_rendered += 1
         if tick % self.map_every == 0 and self.system.n_kfs > 0 \
                 and self.out_dir:
             plot_map(self.system, os.path.join(self.out_dir, "map.png"))

@@ -91,6 +91,36 @@ class TestConfig:
                               n_features=128, max_keyframes=16)
         assert st.n_features == 128 and st.max_keyframes == 16
 
+    def test_bundled_configs_all_load(self):
+        """Every bundled per-dataset config (scripts/gen_configs.py; the
+        reference's 13-YAML set, SURVEY §2.3) parses into Settings."""
+        import glob
+        import os
+
+        import splslam_tpu.examples as ex
+
+        root = os.path.join(os.path.dirname(ex.__file__), "configs")
+        paths = sorted(glob.glob(os.path.join(root, "**", "*.yaml"),
+                                 recursive=True))
+        assert len(paths) >= 16
+        for p in paths:
+            st, raw = load_settings(p)
+            assert st.fx > 0 and st.width > 0 and st.height > 0, p
+        # spot checks against the public calibrations
+        st, _ = load_settings(os.path.join(root, "Stereo",
+                                           "KITTI00-02.yaml"))
+        assert st.fx == pytest.approx(718.856)
+        assert st.bf == pytest.approx(386.1448)
+        assert (st.width, st.height) == (1241, 376)
+        assert st.n_features == 2000 and not st.using_line
+        st, _ = load_settings(os.path.join(root, "Monocular", "TUM1.yaml"))
+        assert st.using_line and st.fx == pytest.approx(517.306408)
+        assert st.line_features == 600
+        st, raw = load_settings(os.path.join(root, "Stereo", "EuRoC.yaml"))
+        assert raw["LEFT.R"].shape == (3, 3)
+        assert raw["RIGHT.P"].shape == (3, 4)
+        assert raw["RIGHT.P"][0, 3] == pytest.approx(-47.90639384423901)
+
 
 SMALL = dict(max_points=8192, max_keyframes=64, local_window=1024,
              max_maplines=256)

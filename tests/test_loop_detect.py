@@ -73,10 +73,27 @@ def _bow_rows():
     return jnp.asarray(rows)
 
 
+def _table_from_dense(rows: np.ndarray):
+    """Dense [K,W] rows -> sparse BowTable (test convenience)."""
+    from splslam_tpu.bow.vocabulary import BowTable
+
+    rows = np.asarray(rows)
+    K, W = rows.shape
+    S = max(int((rows > 0).sum(1).max()), 1)
+    ids = np.full((K, S), W, np.int32)
+    vals = np.zeros((K, S), np.float32)
+    for k in range(K):
+        nz = np.nonzero(rows[k])[0]
+        ids[k, : len(nz)] = nz
+        vals[k, : len(nz)] = rows[k, nz]
+    return BowTable(jnp.asarray(ids), jnp.asarray(vals))
+
+
 class _StubSystem:
     def __init__(self):
         self.map = _build_map()
-        self.kf_bow = _bow_rows()
+        self.kf_bow = _table_from_dense(np.asarray(_bow_rows()))
+        self.bow_n_words = W
         self.n_kfs = N_KF
         self.vocab = object()  # only checked for non-None
 

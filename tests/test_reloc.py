@@ -29,6 +29,42 @@ def test_vocab_transform_deterministic_and_discriminative():
     assert float(V.score_l1(v_a, v_a)) > float(V.score_l1(v_a, v_b))
 
 
+def test_sparse_bow_table_scores_match_dense():
+    """The sparse BowTable (per-KF word ids + tf-idf values) must
+    reproduce the dense [K,W] L1 scores EXACTLY — including duplicate
+    words across features (aggregated per word, scored once)."""
+    rng = np.random.default_rng(2)
+    desc = rng.integers(0, 2**32, (900, 8), dtype=np.uint32)
+    voc = V.train(desc[:600], k=4, depth=2, seed=0)  # 16 words: many dups
+    K, N = 3, 64
+    ids = jnp.full((K, N), voc.n_words, jnp.int32)
+    vals = jnp.zeros((K, N), jnp.float32)
+    dense_rows = []
+    for k in range(K):
+        d = jnp.asarray(desc[600 + k * N: 600 + (k + 1) * N])
+        valid = jnp.asarray(np.arange(N) < N - 5 * k)  # vary validity
+        ids, vals = V.update_bow_row(
+            ids, vals, voc.level_desc, voc.weights, voc.k, voc.depth,
+            d, valid, jnp.int32(k),
+        )
+        dense_rows.append(np.asarray(V.query_bow(
+            voc.level_desc, voc.weights, voc.k, voc.depth, d, valid)))
+    dense_rows = np.stack(dense_rows)
+    # each sparse row must round-trip to its dense vector
+    for k in range(K):
+        np.testing.assert_allclose(
+            np.asarray(V.densify_bow_row(ids, vals, k, voc.n_words)),
+            dense_rows[k], rtol=1e-6, atol=1e-7,
+        )
+    # and score_rows == dense sum-of-minima for a fresh query
+    q = np.asarray(V.query_bow(
+        voc.level_desc, voc.weights, voc.k, voc.depth,
+        jnp.asarray(desc[:N]), jnp.ones(N, bool)))
+    want = np.minimum(dense_rows, q[None, :]).sum(-1)
+    got = np.asarray(V.score_rows(ids, vals, jnp.asarray(q)))
+    np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-7)
+
+
 def test_vocab_save_load_roundtrip(tmp_path):
     rng = np.random.default_rng(1)
     desc = rng.integers(0, 2**32, (800, 8), dtype=np.uint32)
@@ -106,6 +142,43 @@ def test_map_save_load_relocalize(tmp_path):
     assert s2.state == TrackingState.OK
     pos = s2.poses()[-1][:3, 3]
     assert np.linalg.norm(pos - gt[5][:3, 3]) < 0.05
+
+
+def test_load_map_dense_bow_backcompat(tmp_path):
+    """Checkpoints written before the sparse BowTable stored a dense
+    [K, W] `meta.kf_bow`; load_map must compact it into the same sparse
+    rows a fresh save would produce."""
+    st = Settings(
+        fx=320.0, fy=320.0, cx=160.0, cy=120.0, bf=32.0,
+        width=320, height=240, n_features=256,
+        max_points=1024, max_keyframes=8, local_window=256,
+    )
+    s1 = System(st, Sensor.STEREO)
+    W = s1.bow_n_words
+    # hand-author two sparse rows, save, then rewrite as the old format
+    ids = np.array(s1.kf_bow.ids)
+    vals = np.array(s1.kf_bow.vals)
+    ids[0, :3] = [5, 17, W - 1]
+    vals[0, :3] = [0.5, 0.25, 0.25]
+    ids[1, :2] = [17, 42]
+    vals[1, :2] = [0.75, 0.25]
+    s1.kf_bow = V.BowTable(jnp.asarray(ids), jnp.asarray(vals))
+    p = str(tmp_path / "map.npz")
+    s1.save_map(p)
+    z = dict(np.load(p))
+    dense = np.zeros((st.max_keyframes, W), np.float32)
+    for k in range(2):
+        dense[k, ids[k][vals[k] > 0]] = vals[k][vals[k] > 0]
+    del z["meta.kf_bow_ids"], z["meta.kf_bow_vals"]
+    z["meta.kf_bow"] = dense
+    np.savez_compressed(p, **z)
+
+    s2 = System(st, Sensor.STEREO)
+    s2.load_map(p)
+    for k in range(2):
+        got = np.asarray(V.densify_bow_row(
+            s2.kf_bow.ids, s2.kf_bow.vals, k, W))
+        np.testing.assert_allclose(got, dense[k], atol=1e-7)
 
 
 def test_epnl_ransac_recovers_pose_points_free():
