@@ -49,8 +49,16 @@ class PlaneScene:
         self.z1 = z1
         self.ppu = px_per_unit
 
-    def render(self, K: np.ndarray, Twc: np.ndarray, height: int, width: int) -> np.ndarray:
-        """Render the view from camera-to-world pose Twc (4,4)."""
+    def render(self, K: np.ndarray, Twc: np.ndarray, height: int,
+               width: int, with_depth: bool = False):
+        """Render the view from camera-to-world pose Twc (4,4).
+
+        with_depth=True additionally returns the per-pixel camera-frame
+        depth map [H,W] (the ray parameter t IS z_cam because rays are
+        unit-z in camera coordinates) — the ground-truth registered
+        depth image an RGB-D sensor would deliver (reference
+        Frame::ComputeStereoFromRGBD consumes exactly this,
+        src/Frame.cc:1057-1079)."""
         us, vs = np.meshgrid(np.arange(width), np.arange(height))
         pix = np.stack([us, vs, np.ones_like(us)], axis=-1).reshape(-1, 3)
         rays_c = pix @ np.linalg.inv(K).T
@@ -74,13 +82,19 @@ class PlaneScene:
             cx, cy = K[0, 2], K[1, 2]
             near = (pix[:, 0] < cx) ^ (pix[:, 1] < cy)
             p1, t1 = plane_uv(self.z1)
-            p = np.where((use0 & near)[:, None], p0, p1)
+            sel = use0 & near
+            p = np.where(sel[:, None], p0, p1)
+            t = np.where(sel, t0, t1)
         else:
-            p = p0
+            p, t = p0, t0
         tx = p[:, 0] * self.ppu + self.tex.shape[1] / 2
         ty = p[:, 1] * self.ppu + self.tex.shape[0] / 2
         img = map_coordinates(self.tex, [ty, tx], order=1, mode="wrap")
-        return img.reshape(height, width).astype(np.float32)
+        img = img.reshape(height, width).astype(np.float32)
+        if with_depth:
+            depth = np.where(t > 0, t, 0.0).reshape(height, width)
+            return img, depth.astype(np.float32)
+        return img
 
 
 class CorridorScene:
@@ -102,7 +116,7 @@ class CorridorScene:
         self.ppu = px_per_unit
 
     def render(self, K: np.ndarray, Twc: np.ndarray, height: int,
-               width: int) -> np.ndarray:
+               width: int, with_depth: bool = False):
         us, vs = np.meshgrid(np.arange(width), np.arange(height))
         pix = np.stack([us, vs, np.ones_like(us)], axis=-1).reshape(-1, 3)
         rays_w = (pix @ np.linalg.inv(K).T) @ Twc[:3, :3].T
@@ -139,7 +153,12 @@ class CorridorScene:
         tx = uu[pick, ar] * self.ppu + self.tex.shape[1] / 2
         ty = vv[pick, ar] * self.ppu + self.tex.shape[0] / 2
         img = map_coordinates(self.tex, [ty, tx], order=1, mode="wrap")
-        return img.reshape(height, width).astype(np.float32)
+        img = img.reshape(height, width).astype(np.float32)
+        if with_depth:
+            t = ts[pick, ar]
+            depth = np.where(np.isfinite(t), t, 0.0).reshape(height, width)
+            return img, depth.astype(np.float32)
+        return img
 
 
 def make_stereo_sequence(
@@ -243,6 +262,67 @@ def make_stereo_sequence(
             imgR = np.clip(imgR * gain, 0.0, 255.0)
         frames.append((imgL, imgR))
     return K, fx * baseline, frames, np.stack(poses)
+
+
+def make_rgbd_sequence(
+    n_frames: int = 30,
+    width: int = 320,
+    height: int = 240,
+    fx: float = 200.0,
+    baseline: float = 0.12,
+    seed: int = 0,
+    motion: str = "forward",
+    texture: str = "blobs",
+    scene: str = "planes",
+    speed: float = 1.0,
+    depth_dropout: float = 0.0,
+    depth_noise: float = 0.0,
+):
+    """RGB-D counterpart of make_stereo_sequence: returns
+    (K, bf, list[(img, depth)], gt_Twc). Depth is the registered
+    camera-frame z map a TUM-style RGB-D sensor delivers (reference
+    Examples/RGB-D/rgbd_tum.cc feeds exactly an (rgb, depth) pair per
+    frame into System::TrackRGBD).
+
+    depth_dropout: fraction of pixels whose depth reads 0 (invalid) —
+    real structured-light sensors have holes at oblique/dark surfaces;
+    the d>0 gate in depth_from_rgbd must leave those keypoints
+    depth-less (mono-like), not corrupt them.
+    depth_noise: multiplicative sigma of per-pixel Gaussian depth noise
+    (Kinect-class error grows with distance; multiplicative is the
+    standard model).
+
+    `bf` is the VIRTUAL stereo baseline*fx the reference uses to
+    synthesize right-coordinates from depth (Frame.cc:1057-1079 mbf);
+    returned so Settings.bf matches the tracking-side expectation.
+    """
+    K = np.array([[fx, 0, width / 2], [0, fx, height / 2], [0, 0, 1]],
+                 np.float32)
+    tex = (make_grid_texture(seed=seed) if texture == "grid"
+           else make_texture(seed=seed))
+    scene_obj = (CorridorScene(tex) if scene == "corridor"
+                 else PlaneScene(tex))
+    # Reuse make_stereo_sequence's trajectory schedules by regenerating
+    # the exact same pose list (rendering is the expensive part; the
+    # pose math is cheap enough to duplicate via the public call).
+    _, _, _, gt = make_stereo_sequence(
+        n_frames=n_frames, width=2, height=2, fx=fx, baseline=baseline,
+        seed=seed, motion=motion, texture=texture, scene="planes",
+        speed=speed)
+    rng = np.random.default_rng(seed + 1)
+    frames = []
+    for Twc in gt:
+        img, depth = scene_obj.render(K, Twc, height, width,
+                                      with_depth=True)
+        if depth_noise > 0.0:
+            depth = depth * (1.0 + depth_noise
+                             * rng.standard_normal(depth.shape))
+            depth = np.maximum(depth, 0.0).astype(np.float32)
+        if depth_dropout > 0.0:
+            holes = rng.random(depth.shape) < depth_dropout
+            depth = np.where(holes, 0.0, depth).astype(np.float32)
+        frames.append((img, depth))
+    return K, fx * baseline, frames, gt
 
 
 def path_length(gt_Twc: np.ndarray) -> float:
