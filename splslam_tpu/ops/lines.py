@@ -44,6 +44,20 @@ SEED_CAP = 512          # strongest seeds marched per octave (see
 #                         _detect_level: the march is the dominant cost)
 MAX_STEPS = 64          # max half-length of a segment, pixels
 #                         (longer structure is recovered at coarser octaves)
+# Per-octave march budgets (index = pyramid level, last entry repeats).
+# The march is the detector's dominant cost (5 gathers per seed-step,
+# paid whether or not the seed is alive), so each level gets the
+# smallest budget its role needs:
+#   L0: seeds sit in every 24-px cell along an edge, so capped 48-step
+#       runs from neighboring seeds overlap and the collinear-union
+#       merge recovers the full extent — marching 64 steps per seed
+#       re-discovers pixels neighboring seeds already covered.
+#   L1: half resolution, so 64 steps span 256 level-0 px (the long-
+#       structure octave) and there are only ~260 cells to seed from.
+# Border-ring seeds are excluded BEFORE the cap (see _detect_level), so
+# the magnitude ranking spends the whole budget on scene edges.
+LEVEL_SEED_CAP = (512, 512)
+LEVEL_MAX_STEPS = (64, 64)
 ANGLE_TOL = 0.35        # rad, level-line angle agreement (covers
 #                         nearest-pixel angle sampling jitter)
 MAG_FRAC = 0.02         # min gradient magnitude as a fraction of max
@@ -141,7 +155,8 @@ def _angle_diff(a: jax.Array, b: jax.Array) -> jax.Array:
     return jnp.minimum(d, jnp.pi - d)
 
 
-def _grow(seeds_xy, seed_angle, ang_map, mag, mag_th, direction):
+def _grow(seeds_xy, seed_angle, ang_map, mag, mag_th, direction,
+          max_steps: int = MAX_STEPS, stride: float = 1.0):
     """March from seeds along +-(cos a, sin a); return run lengths [C].
 
     Robustness: continuation uses a hysteresis magnitude threshold
@@ -157,7 +172,7 @@ def _grow(seeds_xy, seed_angle, ang_map, mag, mag_th, direction):
     triple-map form). Angle jitter <=0.5 px is absorbed by ANGLE_TOL
     and the gap bridging."""
     H, W = mag.shape
-    steps = jnp.arange(1, MAX_STEPS + 1, dtype=jnp.float32)
+    steps = jnp.arange(1, max_steps + 1, dtype=jnp.float32) * stride
     dx = jnp.cos(seed_angle)[:, None] * steps[None, :] * direction
     dy = jnp.sin(seed_angle)[:, None] * steps[None, :] * direction
     xs = seeds_xy[:, 0:1] + dx
@@ -176,7 +191,8 @@ def _grow(seeds_xy, seed_angle, ang_map, mag, mag_th, direction):
     nxt = jnp.concatenate([alive[:, 1:], jnp.zeros_like(alive[:, :1])], 1)
     alive = alive | (prev & nxt)
     run = jnp.cumprod(alive.astype(jnp.int32), axis=1)
-    return jnp.sum(run, axis=1).astype(jnp.float32)  # [C] steps alive
+    # run length in PIXELS (steps alive x stride)
+    return jnp.sum(run, axis=1).astype(jnp.float32) * stride
 
 
 def _refine_direction(seeds_xy, seed_angle, gx, gy):
@@ -250,6 +266,8 @@ def _detect_level(
     backend: str = "grow",
     level_cap: int = 256,
     grads: tuple[jax.Array, jax.Array] | None = None,
+    seed_cap: int | None = None,
+    max_steps: int = MAX_STEPS,
 ):
     """One detection octave: seeds -> growth -> refinement. Returns
     (a [C,2], b [C,2], length [C], ok [C], cmax [C]) in THIS level's
@@ -297,6 +315,17 @@ def _detect_level(
     cmax = cmaxs.reshape(-1)
     seeds = jnp.stack([cx, cy], axis=-1).astype(jnp.float32)  # [C,2]
     seed_ok = cmax > mag_th
+    # Border seeds are the zero-pad Sobel artifact (see sobel_gradients):
+    # maximal-magnitude ring pixels that can only ever grow the phantom
+    # frame segments suppressed later. They must not enter the magnitude-
+    # ranked SEED_CAP compaction below — at 640x480 the ring contributes
+    # ~270 of the highest-magnitude candidates, which would crowd every
+    # real edge out of a tight cap (measured: cap 256 without this mask
+    # detects 16 lines where cap 512 detects 77).
+    border = (
+        (cx < 3) | (cx >= W - 3) | (cy < 3) | (cy >= H - 3)
+    )
+    seed_ok = seed_ok & ~border
 
     sgx = gx[cy, cx]
     sgy = gy[cy, cx]
@@ -313,8 +342,9 @@ def _detect_level(
     # magnitude keeps 4x the post-merge level cap and 8x the final
     # table capacity — a scene would need >512 cells with genuinely
     # strong edges before this cap could cost a real line.
-    if seeds.shape[0] > SEED_CAP:
-        _, si = jax.lax.top_k(jnp.where(seed_ok, cmax, -1.0), SEED_CAP)
+    cap = SEED_CAP if seed_cap is None else seed_cap
+    if seeds.shape[0] > cap:
+        _, si = jax.lax.top_k(jnp.where(seed_ok, cmax, -1.0), cap)
         seeds = seeds[si]
         cmax = cmax[si]
         seed_ok = seed_ok[si]
@@ -325,13 +355,13 @@ def _detect_level(
     # span depends on the physical line, not on where in it the seed
     # happened to land (stabilizes endpoints/midpoints across frames) ---
     ang_map = jnp.arctan2(gy, gx) + 0.5 * jnp.pi  # dense level-line angle
-    fwd = _grow(seeds, seed_angle, ang_map, mag, mag_th, +1.0)
-    bwd = _grow(seeds, seed_angle, ang_map, mag, mag_th, -1.0)
+    fwd = _grow(seeds, seed_angle, ang_map, mag, mag_th, +1.0, max_steps)
+    bwd = _grow(seeds, seed_angle, ang_map, mag, mag_th, -1.0, max_steps)
     dirv = jnp.stack([jnp.cos(seed_angle), jnp.sin(seed_angle)], axis=-1)
     center = seeds + dirv * (0.5 * (fwd - bwd))[:, None]
     ang2 = _refine_direction(center, seed_angle, gx, gy)
-    fwd = _grow(center, ang2, ang_map, mag, mag_th, +1.0)
-    bwd = _grow(center, ang2, ang_map, mag, mag_th, -1.0)
+    fwd = _grow(center, ang2, ang_map, mag, mag_th, +1.0, max_steps)
+    bwd = _grow(center, ang2, ang_map, mag, mag_th, -1.0, max_steps)
     dirv = jnp.stack([jnp.cos(ang2), jnp.sin(ang2)], axis=-1)
     p_end = center + dirv * fwd[:, None]
     p_start = center - dirv * bwd[:, None]
@@ -410,6 +440,8 @@ def extract_lines(
             lv_img, cell, max(min_length / s, 12.0), backend=backend,
             level_cap=max(192, 2 * capacity),
             grads=(gx, gy) if lv == 0 else None,
+            seed_cap=LEVEL_SEED_CAP[min(lv, len(LEVEL_SEED_CAP) - 1)],
+            max_steps=LEVEL_MAX_STEPS[min(lv, len(LEVEL_MAX_STEPS) - 1)],
         )
         cand_a.append(a * s)
         cand_b.append(b * s)
