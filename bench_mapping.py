@@ -15,6 +15,12 @@ timed row in seconds instead of minutes.
 
 Prints ONE JSON line for the headline metric (Local BA ms/KF vs the
 reference's 117.22 ms on KITTI) plus a stderr table with the §6 names.
+
+Each row reports two protocols (see `timeit`): `amortized` — N dispatches
+drained once, per-call device+dispatch cost, the apples-to-apples column
+against the reference's pure-compute CPU numbers and the protocol of the
+JSON headline — and `1-shot wall`, which additionally pays this
+deployment's ~25-30 ms tunnel RPC round-trip per call.
 """
 
 from __future__ import annotations
@@ -79,19 +85,38 @@ def main() -> None:
     print(f"{'(dispatch+fetch RPC floor)':32s} {rpc_floor:8.2f} ms",
           file=sys.stderr)
 
-    def timeit(name, fn, n=10):
+    def timeit(name, fn, n=10, n_wall=3):
+        """Two timing protocols per row:
+
+        - `1-shot wall`: dispatch + blocking fetch per call — includes one
+          full tunnel round-trip (~25-30 ms RPC floor, see above) per
+          call, i.e. the latency THIS deployment sees.
+        - `amortized`: dispatch `n` calls back-to-back, drain once —
+          device execution is in-order, so (total wall)/n is the
+          per-call device+dispatch cost with the round-trip amortized
+          away. This is the apples-to-apples column against the
+          reference's pure-compute CPU times (a PCIe-attached chip pays
+          ~0 RPC), and the same steady-state protocol bench.py uses for
+          the tracking headline.
+        """
         r = fn()
         jax.tree.map(
             lambda x: np.asarray(x) if hasattr(x, "shape") else x,
             jax.tree.leaves(r)[:1],
         )
         t0 = time.perf_counter()
-        for _ in range(n):
+        for _ in range(n_wall):
             r = fn()
             np.asarray(jax.tree.leaves(r)[0])
+        wall = (time.perf_counter() - t0) / n_wall * 1000
+        t0 = time.perf_counter()
+        last = None
+        for _ in range(n):
+            last = fn()
+        np.asarray(jax.tree.leaves(last)[0])
         ms = (time.perf_counter() - t0) / n * 1000
-        print(f"{name:32s} {ms:8.2f} ms   "
-              f"({max(ms - rpc_floor, 0.0):7.2f} ms device-side)",
+        print(f"{name:32s} {ms:8.2f} ms amortized   "
+              f"({wall:7.2f} ms 1-shot wall incl. RPC)",
               file=sys.stderr)
         return ms
 
@@ -221,17 +246,17 @@ def main() -> None:
     # DONATE their map argument, so the timed calls consume PRE-STAGED
     # whole-map copies (copying the ~100 MB map inside the loop would
     # bill dozens of copy dispatches to the row).
-    n_rep = 5
-    pool = [jax.tree.map(jnp.copy, mst) for _ in range(n_rep + 1)]
+    n_rep, n_wall = 5, 2
+    pool = [jax.tree.map(jnp.copy, mst) for _ in range(n_rep + n_wall + 1)]
     jax.block_until_ready(pool)
 
     def full():
         m2, stats = MO.mapping_step(pool.pop(), kf, cam, scales)
         return stats
     rows["Mapping total / keyframe"] = timeit(
-        "Mapping total / keyframe", full, n=n_rep)
+        "Mapping total / keyframe", full, n=n_rep, n_wall=n_wall)
 
-    pool2 = [jax.tree.map(jnp.copy, mst) for _ in range(n_rep + 1)]
+    pool2 = [jax.tree.map(jnp.copy, mst) for _ in range(n_rep + n_wall + 1)]
     jax.block_until_ready(pool2)
 
     def kf_insert():
@@ -242,7 +267,7 @@ def main() -> None:
         )
         return out
     rows["KeyFrame insertion"] = timeit(
-        "KeyFrame insertion", kf_insert, n=n_rep)
+        "KeyFrame insertion", kf_insert, n=n_rep, n_wall=n_wall)
 
     # ============== combined tracking + mapping overlap ==============
     # The reference's tracking and mapping rows run on CONCURRENT threads;
@@ -272,6 +297,11 @@ def main() -> None:
           f"ms/frame (mapping async behind 8 frames)", file=sys.stderr)
 
     ms = rows["Local BA / keyframe"]
+    print("headline protocol: amortized per-solve time over a chain of "
+          "dispatches drained once (tunnel round-trip excluded — the "
+          "reference's CPU number has no RPC in it either); the 1-shot "
+          "wall incl. the ~25-30 ms tunnel RPC floor is printed per row "
+          "above.", file=sys.stderr)
     print(json.dumps({
         "metric": "kitti_local_ba_ms_per_keyframe",
         "value": round(ms, 2),

@@ -23,6 +23,7 @@ import enum
 import os
 import time
 from collections import deque
+from contextlib import contextmanager
 from dataclasses import dataclass
 
 import jax
@@ -196,6 +197,28 @@ class StageTimer:
                 f"{s['n']:>7d}"
             )
         return "\n".join(lines)
+
+
+@contextmanager
+def device_trace(log_dir: str):
+    """Capture a device-level profiler trace (XLA op timeline, HBM
+    usage, fusion boundaries) around a block of SLAM calls:
+
+        with device_trace("/tmp/slam_trace"):
+            for f in frames:
+                slam.track_stereo(*f, ts)
+
+    View with xprof/TensorBoard (`tensorboard --logdir /tmp/slam_trace`).
+    This is the device-side complement of StageTimer's host wall-clock
+    rows — the reference's per-stage instrumentation (PL_SLAM::Timer
+    printouts, src/Tracking.cc:381-413) has no device/host split to
+    expose; here the XLA trace attributes time to individual fused
+    kernels inside each stage program."""
+    jax.profiler.start_trace(log_dir)
+    try:
+        yield
+    finally:
+        jax.profiler.stop_trace()
 
 
 @dataclass

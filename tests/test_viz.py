@@ -76,3 +76,17 @@ def test_live_viewer_loop(tmp_path):
     pngs = glob.glob(str(tmp_path / "frame_*.png"))
     assert len(pngs) >= 3, pngs          # rendered while tracking
     assert (tmp_path / "map.png").exists()  # periodic map refresh
+
+
+def test_device_trace_writes_xplane(tmp_path):
+    """`device_trace` (SURVEY §5: jax.profiler as the reference Timer's
+    device-side complement) must produce an xprof trace directory a
+    TensorBoard/xprof viewer can open."""
+    import jax.numpy as jnp
+
+    from splslam_tpu.slam.system import device_trace
+
+    with device_trace(str(tmp_path / "trace")):
+        jnp.dot(jnp.ones((64, 64)), jnp.ones((64, 64))).block_until_ready()
+    files = list((tmp_path / "trace").rglob("*"))
+    assert any(f.suffix == ".pb" or "xplane" in f.name for f in files), files
