@@ -7,9 +7,13 @@ Behavior contracts from the reference nodes
   `TrackMonocular(gray, stamp)`.
 - stereo: two subscribers joined by an ApproximateTime(queue=10)
   synchronizer; optional rectification from the LEFT.*/RIGHT.* YAML
-  blocks before `TrackStereo` (ros_stereo.cc:75-110 — here handled by
-  `io.config.load_yaml` + the rectifying dataset path).
+  blocks before `TrackStereo` (ros_stereo.cc:75-110 — pass
+  `rectify_maps`/`rectify_yaml`).
 - rgbd: image + depth joined the same way -> `TrackRGBD`.
+- the MYNT-EYE nodes (ros_mynteye_mono.cc, ros_mynteye_stereo.cc)
+  differ from mono/stereo only in their CLI topic arguments and the
+  `do_rectify` flag — covered by the `*_topic` / `rectify_yaml`
+  parameters of `run_mono_node` / `run_stereo_node`.
 
 The grabbers below are transport-free: they accept any object with
 `.data` convertible to a numpy image and a `stamp` (float seconds or a
@@ -66,19 +70,35 @@ class StereoGrabber:
     `max_skew_s` (the synchronizer's role), and stale unmatched heads
     are dropped."""
 
-    def __init__(self, system, max_skew_s: float = 0.02, queue: int = 10):
+    def __init__(self, system, max_skew_s: float = 0.02, queue: int = 10,
+                 rectify_maps=None):
+        """`rectify_maps`: optional (map_left, map_right) from
+        io.datasets.euroc_rectify_maps — the reference's `do_rectify`
+        path (ros_stereo.cc / ros_mynteye_stereo.cc: initUndistortRectifyMap
+        from the LEFT.*/RIGHT.* YAML blocks, then cv::remap per frame)."""
         self.system = system
         self.max_skew = max_skew_s
+        self.rectify_maps = rectify_maps
         self._left: deque = deque(maxlen=queue)
         self._right: deque = deque(maxlen=queue)
         self.n_tracked = 0
 
     def push_left(self, msg_img, stamp):
-        self._left.append((_to_sec(stamp), _to_gray(msg_img)))
+        img = _to_gray(msg_img)
+        if self.rectify_maps is not None:
+            from splslam_tpu.io.datasets import rectify
+
+            img = rectify(img, self.rectify_maps[0])
+        self._left.append((_to_sec(stamp), img))
         return self._try_pair()
 
     def push_right(self, msg_img, stamp):
-        self._right.append((_to_sec(stamp), _to_gray(msg_img)))
+        img = _to_gray(msg_img)
+        if self.rectify_maps is not None:
+            from splslam_tpu.io.datasets import rectify
+
+            img = rectify(img, self.rectify_maps[1])
+        self._right.append((_to_sec(stamp), img))
         return self._try_pair()
 
     def _try_pair(self):
@@ -166,15 +186,25 @@ def run_mono_node(system, topic: str = "/camera/image_raw"):
 
 
 def run_stereo_node(system, left_topic: str = "/camera/left/image_raw",
-                    right_topic: str = "/camera/right/image_raw"):
-    """rosrun entry point parity for ros_stereo.cc."""
+                    right_topic: str = "/camera/right/image_raw",
+                    rectify_yaml: str | None = None):
+    """rosrun entry point parity for ros_stereo.cc (and, with explicit
+    camera topics + `rectify_yaml`, for ros_mynteye_stereo.cc — the
+    reference's MYNT-EYE node differs only in its CLI topic arguments
+    and `do_rectify` handling)."""
     _require_ros()  # pragma: no cover - no ROS in this env
     import rospy
     from cv_bridge import CvBridge
     from sensor_msgs.msg import Image
 
+    maps = None
+    if rectify_yaml is not None:
+        from splslam_tpu.io.config import _load_cv_yaml
+        from splslam_tpu.io.datasets import euroc_rectify_maps
+
+        maps = euroc_rectify_maps(_load_cv_yaml(rectify_yaml))
     bridge = CvBridge()
-    grab = StereoGrabber(system)
+    grab = StereoGrabber(system, rectify_maps=maps)
     rospy.Subscriber(
         left_topic, Image,
         lambda m: grab.push_left(bridge.imgmsg_to_cv2(m), m.header.stamp),

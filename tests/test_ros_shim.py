@@ -82,3 +82,27 @@ def test_run_node_without_ros_raises():
 
     with pytest.raises(RuntimeError, match="ROS installation"):
         run_mono_node(_StubSystem())
+
+
+def test_stereo_grabber_rectifies_before_tracking():
+    """do_rectify parity (ros_stereo.cc:75-110 / ros_mynteye_stereo.cc):
+    with rectify maps installed, frames reach TrackStereo remapped."""
+
+    class _Capture(_StubSystem):
+        def track_stereo(self, l, r, ts):
+            self.left = l
+            return super().track_stereo(l, r, ts)
+
+    h, w = 8, 10
+    gy, gx = np.mgrid[0:h, 0:w].astype(np.float32)
+    ident = (gx, gy)
+    shift = (gx + 2.0, gy)             # sample 2 px to the right
+    img = np.tile(np.arange(w, dtype=np.float32), (h, 1))
+
+    sysm = _Capture()
+    g = StereoGrabber(sysm, rectify_maps=(shift, ident))
+    g.push_left(img, 0.0)
+    g.push_right(img, 0.0)
+    assert g.n_tracked == 1
+    # interior columns shifted by 2 (border clamped by cv2.remap)
+    assert np.allclose(sysm.left[:, :w - 2], img[:, 2:])
