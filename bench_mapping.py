@@ -229,7 +229,7 @@ def main() -> None:
 
     @jax.jit
     def stage_kfcull(m, k):
-        return MO.cull_keyframes(m, k).kfs.valid
+        return MO.cull_keyframes(m, k)[0].kfs.valid
 
     rows["Map feature culling"] = timeit(
         "Map feature culling", lambda: stage_cull(mst, kf))

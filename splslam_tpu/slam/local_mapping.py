@@ -27,6 +27,7 @@ class LocalMapper:
         self.sys = system
         self.big_change_idx = 0  # reference Map::mnBigChangeIdx
         self._pending_stats = None
+        self._pending_kf = None
         self.last_stats = np.zeros((4,), np.float32)
         self.ba_ms_total = 0.0
         self.n_steps = 0
@@ -51,7 +52,9 @@ class LocalMapper:
             stats.copy_to_host_async()
         except AttributeError:
             pass
+        self.flush()  # consume the PREVIOUS step's bookkeeping first
         self._pending_stats = stats
+        self._pending_kf = kf_idx
         self.big_change_idx += 1
         self.n_steps += 1
         # The mapping step may have adjusted landmark positions the live
@@ -62,6 +65,22 @@ class LocalMapper:
             )
 
     def flush(self):
-        if self._pending_stats is not None:
-            self.last_stats = np.asarray(self._pending_stats)
-            self._pending_stats = None
+        if self._pending_stats is None:
+            return
+        from splslam_tpu.slam.mapping_ops import (
+            MAX_KF_CULL, MSTAT_CULL, MSTAT_POSE,
+        )
+
+        v = np.asarray(self._pending_stats)
+        self._pending_stats = None
+        self.last_stats = v[:MSTAT_POSE]
+        if v.shape[0] <= MSTAT_POSE:   # legacy 4-float vector (tests)
+            return
+        pose = v[MSTAT_POSE:MSTAT_POSE + 16].reshape(4, 4)
+        culled = []
+        for i in range(MAX_KF_CULL):
+            off = MSTAT_CULL + i * 17
+            cid = int(v[off])
+            if cid >= 0:
+                culled.append((cid, v[off + 1:off + 17].reshape(4, 4)))
+        self.sys._on_mapping_result(self._pending_kf, pose, culled)

@@ -51,6 +51,15 @@ LN_WINDOW = 512   # map-line slots in the BA window (each = 2 endpoint
 #                   vertices, reference Optimizer.cc:2630-2642)
 MAX_TRI = 256     # new landmarks per (kf, neighbor) pair
 
+# mapping_step stats vector layout (parsed by slam/local_mapping.py):
+# [0:4]   n_pts, n_edges, n_inlier_edges, total_chi2
+# [4:20]  post-BA Tcw of the stepped keyframe (row-major 4x4)
+# then MAX_KF_CULL blocks of 17: [culled_id (-1 none), Tcp row-major 4x4]
+MAX_KF_CULL = 2
+MSTAT_POSE = 4
+MSTAT_CULL = 20
+MSTAT_LEN = MSTAT_CULL + MAX_KF_CULL * 17
+
 
 def _topk_covisible(st: MapState, kf: jax.Array, k: int, exclude_self=True):
     """Top-k keyframes by shared-landmark count with keyframe `kf`
@@ -788,7 +797,7 @@ def refresh_landmark_stats(
 
 
 def cull_keyframes(st: MapState, kf: jax.Array, max_cull: int = 2,
-                   with_lines: bool = False) -> MapState:
+                   with_lines: bool = False):
     """KeyFrameCulling (reference src/LocalMapping.cc:1577-1751): a local
     keyframe >= 90% of whose landmarks are observed by at least 3 OTHER
     keyframes at the same or finer scale is redundant and marked bad.
@@ -801,7 +810,12 @@ def cull_keyframes(st: MapState, kf: jax.Array, max_cull: int = 2,
 
     The per-landmark observer-count-by-octave table makes the scale
     condition a single gather: cnt[lm, o] = number of keyframes observing
-    lm at octave <= o."""
+    lm at octave <= o.
+
+    Returns (new_map, culled_ids[max_cull] i32, -1 padded) so the host
+    can re-root trajectory entries logged against a culled reference
+    keyframe (the reference stores mTcp and walks spanning-tree parents
+    at save time, src/KeyFrame.cc SetBadFlag / src/System.cc:369-374)."""
     kfs = st.kfs
     K, N = kfs.lm_idx.shape
     P = st.pts.xyz.shape[0]
@@ -868,6 +882,7 @@ def cull_keyframes(st: MapState, kf: jax.Array, max_cull: int = 2,
         cand = cand & ((n_lf == 0) | (lratio > 0.9))
     order = jnp.argsort(jnp.where(cand, -ratio, jnp.inf))
     sel = order[:max_cull]
+    culled_ids = jnp.where(cand[sel], sel, -1).astype(jnp.int32)
     cull = jnp.zeros((K,), bool).at[sel].set(cand[sel])
     new_valid = kfs.valid & ~cull
     # Erase the culled keyframes' observations so landmark obs counts and
@@ -891,7 +906,7 @@ def cull_keyframes(st: MapState, kf: jax.Array, max_cull: int = 2,
             kfs=st.kfs._replace(ll_idx=jnp.where(cull[:, None], -1, ll)),
             lns=st.lns._replace(n_obs=st.lns.n_obs + ldec),
         )
-    return st
+    return st, culled_ids
 
 
 def build_ba_window(st: MapState, kf: jax.Array):
@@ -1181,8 +1196,8 @@ def _mapping_step(
 ) -> tuple[MapState, jax.Array]:
     """The fused per-keyframe mapping program: cull -> triangulate ->
     fuse -> local BA (the reference RunBoth's paired point/line thread
-    stages as sequential batched passes). Returns (new_map, stats[4] =
-    n_pts, n_edges, n_inlier_edges, total_chi2)."""
+    stages as sequential batched passes). Returns (new_map,
+    stats[MSTAT_LEN]) — see the MSTAT_* layout constants."""
     st = cull_points(st, kf, th_obs=th_obs)
     if with_lines:
         st = cull_lines(st, kf)
@@ -1219,13 +1234,32 @@ def _mapping_step(
             cam, prob, rounds=ba_rounds, iters=ba_iters, n_free=N_WINDOW
         )
         st = apply_ba_result(st, cams, lm_ids, prob, res)
-    st = cull_keyframes(st, kf, with_lines=with_lines)
-    stats = jnp.stack(
+    st, culled = cull_keyframes(st, kf, with_lines=with_lines)
+    # Host bookkeeping payload (see MSTAT_* offsets): the new keyframe's
+    # post-BA pose (refreshes the host's Tcr reference pose) and, for
+    # each culled keyframe, its id plus Tcp = Tcw_culled @ inv(Tcw_kf) —
+    # the relative pose to the live anchor captured AT CULL TIME, which
+    # stays valid under any later loop/GBA correction (the reference's
+    # mTcp, src/KeyFrame.cc SetBadFlag).
+    Tkf = st.kfs.Tcw[kf]
+    Tc = st.kfs.Tcw[jnp.clip(culled, 0)]              # [max_cull,4,4]
+    Tcp = jnp.einsum("cij,jk->cik", Tc, jnp.linalg.inv(Tkf))
+    cull_info = jnp.concatenate(
+        [culled.astype(jnp.float32)[:, None], Tcp.reshape(-1, 16)], axis=1
+    ).reshape(-1)
+    stats = jnp.concatenate(
         [
-            st.n_pts.astype(jnp.float32),
-            jnp.sum(prob.e_ok.astype(jnp.int32)).astype(jnp.float32),
-            jnp.sum(res.e_inlier.astype(jnp.int32)).astype(jnp.float32),
-            res.total_chi2,
+            jnp.stack(
+                [
+                    st.n_pts.astype(jnp.float32),
+                    jnp.sum(prob.e_ok.astype(jnp.int32)).astype(jnp.float32),
+                    jnp.sum(res.e_inlier.astype(jnp.int32)).astype(
+                        jnp.float32),
+                    res.total_chi2,
+                ]
+            ),
+            Tkf.reshape(-1),
+            cull_info,
         ]
     )
     return st, stats

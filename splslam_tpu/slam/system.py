@@ -633,6 +633,7 @@ class System:
             self._consume_batch_stats(*pb)
         while self._pending:
             self._process_one()
+        self.mapper.flush()   # apply any pending cull re-rooting
 
     def _process_one(self):
         stats_dev, ts, step_state, fid = self._pending.popleft()
@@ -899,6 +900,36 @@ class System:
         Trw = self.kf_pose_host.get(ref, np.eye(4, dtype=np.float32))
         Tcr = Tcw_np @ np.linalg.inv(Trw)
         self.trajectory.append(_TrajEntry(ts, Tcr, ref, lost, Tcw_np.copy()))
+
+    def _on_mapping_result(self, kf: int, pose: np.ndarray, culled):
+        """Post-mapping host bookkeeping (reference KeyFrame::SetBadFlag
+        mTcp capture + System.cc:369-374 spanning-tree walk, applied
+        eagerly instead of at save time):
+
+        - refresh the stepped keyframe's host pose with its post-BA
+          value, so subsequent frames' Tcr is formed against the same
+          pose the trajectory savers will read back;
+        - re-root trajectory entries whose reference keyframe was culled
+          onto the live anchor `kf`: Tcr' = Tcr @ Tcp, ref' = kf. Tcp
+          was captured ON DEVICE at cull time, so the rewrite stays
+          correct under any later loop / GBA correction of the anchor
+          (a culled keyframe's stored pose never receives corrections).
+        """
+        self.kf_pose_host[kf] = pose.astype(np.float32)
+        for cid, Tcp in culled:
+            if cid == kf:
+                continue
+            Tcp = Tcp.astype(np.float32)
+            for e in self.trajectory:
+                if e.ref_kf == cid:
+                    e.Tcr = (e.Tcr @ Tcp).astype(np.float32)
+                    e.ref_kf = kf
+            self.kf_pose_host.pop(cid, None)
+            if self.ref_kf == cid:
+                # The tracker's live reference was culled: hand it to
+                # the anchor (the reference re-points mpReferenceKF to
+                # a live keyframe in UpdateLocalKeyFrames).
+                self.ref_kf = kf
 
     # ------------------------------------------------------------------
     # trajectory export (reference System.cc:340-540)

@@ -197,7 +197,7 @@ def test_keyframe_culling_marks_redundant():
         n_obs=st.pts.n_obs.at[:N].set(6),
     )
     st = st._replace(kfs=kfs, pts=pts, n_kfs=jnp.int32(6))
-    out = cull_keyframes(st, jnp.int32(5))
+    out, culled_ids = cull_keyframes(st, jnp.int32(5))
     v = np.asarray(out.kfs.valid)
     # kf0 (anchor), kf5 (current), kf4 (previous) protected; some of
     # kf1..kf3 culled (max 2 per call)
@@ -207,6 +207,8 @@ def test_keyframe_culling_marks_redundant():
     culled = [k for k in range(1, 4) if not v[k]]
     for k in culled:
         assert (np.asarray(out.kfs.lm_idx[k]) == -1).all()
+    # the reported cull ids match the valid-mask diff exactly
+    assert sorted(int(c) for c in np.asarray(culled_ids)) == sorted(culled)
 
 
 def test_gba_sharded_matches_single_device():

@@ -3,9 +3,11 @@
 separation. The round-2 vocabulary's behavior at realistic map sizes was
 an article of faith; this measures it.
 
-Protocol: 110 distinct places along a long lateral track over a textured
+Protocol: 224 distinct places along a long lateral track over a textured
 plane (adjacent places overlap like consecutive keyframes); each place
-revisited from a 0.1-unit offset + 1.5deg yaw. What loop detection
+revisited from a 0.1-unit offset + 1.5deg yaw. The 8192px texture keeps
+the wrap period (8192/40 = 204.8 units) beyond the 123-unit track so no
+two places alias. What loop detection
 needs from BoW is that a revisit NEVER scores a far place above the
 true neighborhood (a false loop is catastrophic; retrieving the
 neighbor of the true place is harmless — Sim3 verification aligns
@@ -30,12 +32,12 @@ from splslam_tpu.ops.orb import extract_orb
 from splslam_tpu.ops.pyramid import PyramidSpec
 
 W, H, FX = 320, 240, 200.0
-N_PLACES = 110
+N_PLACES = 224
 
 
 def _views():
     K = np.array([[FX, 0, W / 2], [0, FX, H / 2], [0, 0, 1]], np.float32)
-    scene = PlaneScene(make_texture(seed=42, size=4096), z0=3.0, z1=7.0,
+    scene = PlaneScene(make_texture(seed=42, size=8192), z0=3.0, z1=7.0,
                        px_per_unit=40.0)
     spec = PyramidSpec.create(H, W, n_features=500, n_levels=4)
     originals, revisits = [], []
