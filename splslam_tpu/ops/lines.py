@@ -61,6 +61,17 @@ LEVEL_MAX_STEPS = (64, 64)
 ANGLE_TOL = 0.35        # rad, level-line angle agreement (covers
 #                         nearest-pixel angle sampling jitter)
 MAG_FRAC = 0.02         # min gradient magnitude as a fraction of max
+K_SEED = 2              # seed pixels per grid cell (top-k by magnitude).
+#   Seeding granularity is a measured repeatability lever (grid-scene
+#   frame-to-frame re-detection): cell=16/k=2 scores 0.72 @320x240 and
+#   0.68 @640x480 vs 0.62/0.65 at the old cell=24/k=2 — finer cells keep
+#   a marginal short line's seed from losing its cell's top-k to a
+#   stronger neighbor as cell boundaries slide across the image with
+#   camera motion ("truly undetected" was 25% of all misses, the largest
+#   class, scripts/diag_line_repeat.py). Denser isn't monotonic:
+#   cell=12/k=2 floods the magnitude-ranked SEED_CAP crop and scores
+#   0.56; cell=24/k=3 only 0.67. March cost is unchanged at >=640x480
+#   (lanes are SEED_CAP-bound either way).
 
 
 class LineFeatures(NamedTuple):
@@ -155,8 +166,17 @@ def _angle_diff(a: jax.Array, b: jax.Array) -> jax.Array:
     return jnp.minimum(d, jnp.pi - d)
 
 
+def _smooth121(g: jax.Array) -> jax.Array:
+    """One separable [1,2,1]/4 smoothing pass (edge-replicate pad)."""
+    p = jnp.pad(g, 1, mode="edge")
+    h = 0.25 * (p[1:-1, :-2] + 2.0 * p[1:-1, 1:-1] + p[1:-1, 2:])
+    p = jnp.pad(h, 1, mode="edge")
+    return 0.25 * (p[:-2, 1:-1] + 2.0 * p[1:-1, 1:-1] + p[2:, 1:-1])
+
+
 def _grow(seeds_xy, seed_angle, ang_map, mag, mag_th, direction,
-          max_steps: int = MAX_STEPS, stride: float = 1.0):
+          max_steps: int = MAX_STEPS, stride: float = 1.0,
+          bridge: int = 1, angle_tol: float = ANGLE_TOL):
     """March from seeds along +-(cos a, sin a); return run lengths [C].
 
     Robustness: continuation uses a hysteresis magnitude threshold
@@ -184,12 +204,22 @@ def _grow(seeds_xy, seed_angle, ang_map, mag, mag_th, direction,
         xs.shape
     )
     alive = (m > 0.5 * mag_th) & (
-        _angle_diff(ang, seed_angle[:, None]) < ANGLE_TOL
+        _angle_diff(ang, seed_angle[:, None]) < angle_tol
     )
-    # Bridge 1-sample gaps.
-    prev = jnp.concatenate([jnp.ones_like(alive[:, :1]), alive[:, :-1]], 1)
-    nxt = jnp.concatenate([alive[:, 1:], jnp.zeros_like(alive[:, :1])], 1)
-    alive = alive | (prev & nxt)
+    # Bridge gaps up to `bridge` consecutive dead samples: a dead sample
+    # stays live when a live sample exists within `bridge` steps on BOTH
+    # sides (bridge=1 reduces to the classic flanked-single-dropout
+    # rule). The canonical-extent re-march uses a wider bridge so one
+    # march can cross the crossing-line / texture-dropout gaps that the
+    # collinear-union merge bridges during detection (<= 8 px).
+    before = alive
+    after = alive
+    for k in range(1, bridge + 1):
+        pad = jnp.zeros_like(alive[:, :k])
+        one = jnp.ones_like(alive[:, :k])
+        before = before | jnp.concatenate([one, alive[:, :-k]], 1)
+        after = after | jnp.concatenate([alive[:, k:], pad], 1)
+    alive = alive | (before & after)
     run = jnp.cumprod(alive.astype(jnp.int32), axis=1)
     # run length in PIXELS (steps alive x stride)
     return jnp.sum(run, axis=1).astype(jnp.float32) * stride
@@ -306,7 +336,7 @@ def _detect_level(
     cells = pm.reshape(ncy, cell, ncx, cell).transpose(0, 2, 1, 3).reshape(
         ncy * ncx, cell * cell
     )
-    k_seed = 2
+    k_seed = K_SEED
     cmaxs, idxs = jax.lax.top_k(cells, k_seed)       # [ncells, k]
     cyc = (jnp.arange(ncy * ncx) // ncx)[:, None] * cell + idxs // cell
     cxc = (jnp.arange(ncy * ncx) % ncx)[:, None] * cell + idxs % cell
@@ -403,7 +433,7 @@ def _detect_level(
 def extract_lines(
     image: jax.Array,
     capacity: int = 128,
-    cell: int = 24,
+    cell: int = 16,
     min_length: float = 24.0,
     n_octaves: int = 2,
     backend: str = "grow",
@@ -555,13 +585,85 @@ def extract_lines(
     a = a[top_i]
     b = b[top_i]
     valid = top_val > 0
+
+    # --- final level-0 lateral re-registration before describing ---
+    # A merged segment inherits the LATERAL offset of whichever collinear
+    # fragment survived the dedup, and octave-1 survivors carry a
+    # half-resolution refit: across frames the same physical edge can sit
+    # ~1.5 px off its own ridge in different directions. The LBD samples
+    # 8 bands at 2 px spacing, so a 1.5 px perpendicular registration
+    # error decorrelates every off-stroke band's statistics (measured:
+    # ~70/256 bits flip between two detections of the same edge whose
+    # extents agree to a pixel, killing descriptor matching whenever the
+    # seeding grid changes which fragment wins). One subpixel TLS refit
+    # of the final top-K against the LEVEL-0 magnitude field pins all
+    # survivors — whatever octave or fragment they came from — to the
+    # same physical ridge (true-pair cross-frame Hamming 66-124 -> 4-33
+    # on the shifted-crop fixture).
+    mag0 = jnp.sqrt(gx * gx + gy * gy)
+    a, b = _refine_segment(a, b, mag0, n_samp=32, probe=3)
+
+    # --- canonical extent: re-march the refined line until the edge
+    # actually dies. The merged extent is a union over whichever
+    # fragments happened to be seeded this frame, so it wobbles 5-20 px
+    # with the seeding grid; the descriptor samples in extent-normalized
+    # coordinates, so extent wobble alone flips ~50 bits. Marching
+    # outward from the refined midpoint makes the endpoints a function
+    # of the IMAGE CONTENT (where the gradient run ends), not of the
+    # seed census. Two level-tolerance choices matter: (1) the march
+    # runs on the SMOOTHED level-0 field (an L1 detection's edge is
+    # blurry at L0 and dies instantly against raw-gradient sampling);
+    # (2) the continuation threshold is PER-LINE — a fraction of the
+    # line's own median on-line magnitude — not the global MAG_FRAC
+    # floor, which an L1-octave low-contrast edge never clears at L0.
+    gx_s = _smooth121(_smooth121(gx))
+    gy_s = _smooth121(_smooth121(gy))
+    mag_s = jnp.sqrt(gx_s * gx_s + gy_s * gy_s)
+    ang_map_s = jnp.arctan2(gy_s, gx_s) + 0.5 * jnp.pi
+    ang_r = jnp.arctan2((b - a)[:, 1], (b - a)[:, 0])
+    mid_r = 0.5 * (a + b)
+    t_on = jnp.linspace(0.15, 0.85, 16)
+    on_x = a[:, 0, None] + (b[:, 0] - a[:, 0])[:, None] * t_on[None, :]
+    on_y = a[:, 1, None] + (b[:, 1] - a[:, 1])[:, None] * t_on[None, :]
+    m_ref = jnp.median(_bilinear(mag_s, on_x, on_y), axis=-1)  # [C]
+    m_th = (0.8 * m_ref)[:, None]      # _grow continues at 0.5 x this
+    fwd = _grow(mid_r, ang_r, ang_map_s, mag_s, m_th, +1.0,
+                max_steps=192, stride=1.0, bridge=5, angle_tol=0.55)
+    bwd = _grow(mid_r, ang_r, ang_map_s, mag_s, m_th, -1.0,
+                max_steps=192, stride=1.0, bridge=5, angle_tol=0.55)
+    dirv = jnp.stack([jnp.cos(ang_r), jnp.sin(ang_r)], axis=-1)
+    a_c = mid_r - dirv * bwd[:, None]
+    b_c = mid_r + dirv * fwd[:, None]
+    a_c = jnp.clip(a_c, 0.0, jnp.asarray([W_img - 1.0, H_img - 1.0]))
+    b_c = jnp.clip(b_c, 0.0, jnp.asarray([W_img - 1.0, H_img - 1.0]))
+
+    # The canonical extent serves the DESCRIPTOR only. As the feature's
+    # geometry it was measured WORSE (grid-scene geometric repeatability
+    # 0.72 -> 0.44): a marginal gap that the bridge crosses in one frame
+    # and not the next slides the midpoint 12-29 px along the line,
+    # while the merge-union midpoint wobbles only a few px. So the
+    # reported seg/midpoint/length keep the refit merge-union extent,
+    # and the descriptor samples the content-derived canonical support
+    # (cross-frame true-pair Hamming 53-99 -> 1-27 on the shifted-crop
+    # fixture). When the re-march collapses (refit landed off-ridge, or
+    # the line is mostly gap), fall back to the union extent.
+    ln_c = jnp.linalg.norm(b_c - a_c, axis=-1)
+    ln_u = jnp.linalg.norm(b - a, axis=-1)
+    use_c = (ln_c >= 0.5 * min_length) & (ln_c >= 0.35 * ln_u)
+    a_d = jnp.where(use_c[:, None], a_c, a)
+    b_d = jnp.where(use_c[:, None], b_c, b)
+
     seg = jnp.concatenate([a, b], axis=-1)
     mid = 0.5 * (a + b)
     d = b - a
     ang = jnp.arctan2(d[:, 1], d[:, 0])
     ln = jnp.linalg.norm(d, axis=-1)
 
-    desc = lbd_descriptor(image, gx, gy, seg, ang, ln)
+    seg_d = jnp.concatenate([a_d, b_d], axis=-1)
+    d_d = b_d - a_d
+    desc = lbd_descriptor(image, gx, gy, seg_d,
+                          jnp.arctan2(d_d[:, 1], d_d[:, 0]),
+                          jnp.linalg.norm(d_d, axis=-1))
     return LineFeatures(
         seg=seg,
         midpoint=mid,
@@ -577,6 +679,8 @@ def extract_lines(
 N_BANDS = 8          # bands across the line support region
 BAND_SAMPLES = 16    # samples along the line per band
 BAND_WIDTH = 7.0     # support region half-width in px
+LBD_SMOOTH = 2       # [1,2,1]/4 separable passes on (gx, gy) pre-sampling
+LBD_NOISE_FRAC = 0.1  # soft-threshold samples below this x line peak mag
 
 
 def lbd_descriptor(
@@ -603,6 +707,18 @@ def lbd_descriptor(
     columns (off the physical edge there is no on-line gradient) and
     re-centers the statistics on the edge's actual support."""
     L = seg.shape[0]
+    # Smooth the gradient fields before sampling (separable [1,2,1]/4,
+    # LBD_SMOOTH passes ~ Gaussian sigma ~1 px each): each band sample
+    # then represents a local AREA average, approximating the dense
+    # Gaussian-weighted band integral of the real LBD
+    # (binary_descriptor_custom.cpp) instead of a point lattice of raw
+    # pixel noise. Without it the descriptor is a noise hash of the exact
+    # sampling grid — measured: sliding the lattice 2 px ALONG the line
+    # (identical physical segment) flipped 56-103/256 bits; a 0.5 px
+    # perpendicular registration shift flipped 24-50.
+    for _ in range(LBD_SMOOTH):
+        gx = _smooth121(gx)
+        gy = _smooth121(gy)
     t = jnp.linspace(0.05, 0.95, BAND_SAMPLES)
     band_off = jnp.linspace(-BAND_WIDTH, BAND_WIDTH, N_BANDS)
     ca, sa = jnp.cos(angle), jnp.sin(angle)
@@ -618,6 +734,24 @@ def lbd_descriptor(
     # Rotate into the line frame.
     g_par = ca[:, None, None] * sgx + sa[:, None, None] * sgy
     g_perp = -sa[:, None, None] * sgx + ca[:, None, None] * sgy
+
+    # Per-line noise floor: bands off the physical support sample only
+    # sensor/texture noise, and a comparison between two noise bands'
+    # statistics is decided by SAMPLING ERROR — a coin flip that re-tosses
+    # whenever the lattice moves (measured: a 2 px slide of the sample
+    # grid along the line, identical physical segment, flipped 44-62/256
+    # bits even on smoothed fields). Soft-thresholding each sample at a
+    # fraction of the line's own peak magnitude sends off-support samples
+    # to EXACTLY zero, so noise-band statistics tie at 0 and their
+    # comparison bits become deterministic (x > y is False on ties),
+    # while genuine texture and the stroke itself pass through shifted.
+    smag = jnp.sqrt(g_par * g_par + g_perp * g_perp)
+    tau = LBD_NOISE_FRAC * jnp.max(
+        jnp.max(smag, axis=-1), axis=-1
+    )[:, None, None]
+    scale = jnp.maximum(smag - tau, 0.0) / jnp.maximum(smag, 1e-6)
+    g_par = g_par * scale
+    g_perp = g_perp * scale
 
     # On-line support weight per sample column: max magnitude over a
     # +-1 px normal probe at the base position (the subpixel endpoints

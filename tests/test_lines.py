@@ -10,10 +10,28 @@ from splslam_tpu.ops.lines import extract_lines
 
 
 def _render_segments(segs, H=240, W=320, thickness=2, contrast=120.0,
-                     noise=3.0, seed=0, blur=0):
-    """White background, dark anti-aliased segments [(x1,y1,x2,y2), ...]."""
+                     noise=3.0, seed=0, blur=0, texture_seed=None,
+                     texture_contrast=25.0, shift=(0, 0)):
+    """White background, dark anti-aliased segments [(x1,y1,x2,y2), ...].
+
+    With texture_seed set, a fixed smooth random texture is blended into
+    the background, translated by `shift` px (a real surface translates
+    with the scene): re-rendering with a different `seed` then models a
+    real camera pair — surface texture shared, SENSOR noise fresh."""
     rng = np.random.default_rng(seed)
     img = np.full((H, W), 200.0, np.float32)
+    if texture_seed is not None:
+        trng = np.random.default_rng(texture_seed)
+        coarse = trng.normal(0, 1.0, (H // 8 + 6, W // 8 + 6))
+        yy8 = (np.mgrid[0:H, 0:W][0] - shift[1] + 16.0) / 8.0
+        xx8 = (np.mgrid[0:H, 0:W][1] - shift[0] + 16.0) / 8.0
+        y0 = yy8.astype(int); x0 = xx8.astype(int)
+        fy = yy8 - y0; fx = xx8 - x0
+        tex = (coarse[y0, x0] * (1 - fx) * (1 - fy)
+               + coarse[y0, x0 + 1] * fx * (1 - fy)
+               + coarse[y0 + 1, x0] * (1 - fx) * fy
+               + coarse[y0 + 1, x0 + 1] * fx * fy)
+        img += texture_contrast * tex.astype(np.float32)
     yy, xx = np.mgrid[0:H, 0:W].astype(np.float32)
     for (x1, y1, x2, y2) in segs:
         dx, dy = x2 - x1, y2 - y1
@@ -88,13 +106,20 @@ def test_multi_octave_recovers_blurred_lines():
 
 
 def test_lbd_descriptor_matches_across_shift():
-    """The same physical lines viewed with a small translation must match
-    by Hamming distance (self-consistency contract of the matcher)."""
+    """The same physical lines viewed with a small translation and FRESH
+    sensor noise must match by Hamming distance. The background carries a
+    shared smooth texture (translated with the segments, as any real
+    surface would be): descriptor discrimination has to come from real
+    content that survives noise decorrelation, not from hashing the noise
+    field itself — the earlier white-background variant of this fixture
+    rewarded exactly that hashing, which made descriptors brittle to
+    sub-pixel detection jitter on real shared-content frames (see
+    test_lbd_matches_on_true_camera_shift for the shared-noise case)."""
     from splslam_tpu.ops.match import hamming_matrix
 
-    img1 = _render_segments(SEGS, seed=1)
+    img1 = _render_segments(SEGS, seed=1, texture_seed=11)
     segs2 = [(x1 + 4, y1 + 3, x2 + 4, y2 + 3) for (x1, y1, x2, y2) in SEGS]
-    img2 = _render_segments(segs2, seed=2)
+    img2 = _render_segments(segs2, seed=2, texture_seed=11, shift=(4, 3))
     f1 = extract_lines(jnp.asarray(img1), capacity=64)
     f2 = extract_lines(jnp.asarray(img2), capacity=64)
     v1 = np.asarray(f1.valid); v2 = np.asarray(f2.valid)
