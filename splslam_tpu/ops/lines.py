@@ -61,6 +61,7 @@ LEVEL_MAX_STEPS = (64, 64)
 ANGLE_TOL = 0.35        # rad, level-line angle agreement (covers
 #                         nearest-pixel angle sampling jitter)
 MAG_FRAC = 0.02         # min gradient magnitude as a fraction of max
+CANON_BRIDGE = 10       # canonical-extent re-march gap tolerance, px
 K_SEED = 2              # seed pixels per grid cell (top-k by magnitude).
 #   Seeding granularity is a measured repeatability lever (grid-scene
 #   frame-to-frame re-detection): cell=16/k=2 scores 0.72 @320x240 and
@@ -428,6 +429,112 @@ def _detect_level(
     return a, b, length, ok, cmax
 
 
+def _canonical_support(a, b, gx, gy, W_img, H_img, min_length):
+    """Ridge re-registration + content-derived descriptor support.
+
+    (1) Final level-0 lateral re-registration: a merged segment inherits
+    the LATERAL offset of whichever collinear fragment survived the
+    dedup, and octave-1 survivors carry a half-resolution refit; across
+    frames the same physical edge can sit ~1.5 px off its own ridge in
+    different directions. The LBD samples 8 bands at 2 px spacing, so a
+    1.5 px perpendicular registration error decorrelates every
+    off-stroke band's statistics (measured: ~70/256 bits flip between
+    two detections of the same edge whose extents agree to a pixel).
+    One subpixel TLS refit of the final top-K against the LEVEL-0
+    magnitude field pins all survivors — whatever octave or fragment
+    they came from — to the same physical ridge (true-pair cross-frame
+    Hamming 66-124 -> 4-33 on the shifted-crop fixture).
+
+    (2) Canonical extent: re-march the refined line until the edge
+    actually dies. The merged extent is a union over whichever
+    fragments happened to be seeded this frame, so it wobbles 5-20 px
+    with the seeding grid; the descriptor samples in extent-normalized
+    coordinates, so extent wobble alone flips ~50 bits. Marching
+    outward from the refined midpoint makes the endpoints a function of
+    the IMAGE CONTENT (where the gradient run ends), not of the seed
+    census. Two level-tolerance choices matter: (a) the march runs on
+    the SMOOTHED level-0 field (an L1 detection's edge is blurry at L0
+    and dies instantly against raw-gradient sampling); (b) the
+    continuation threshold is PER-LINE — a fraction of the line's own
+    median on-line magnitude — not the global MAG_FRAC floor, which an
+    L1-octave low-contrast edge never clears at L0.
+
+    The canonical extent serves the DESCRIPTOR only. As the feature's
+    geometry it was measured WORSE (grid-scene geometric repeatability
+    0.72 -> 0.44): a marginal gap that the bridge crosses in one frame
+    and not the next slides the midpoint 12-29 px along the line, while
+    the merge-union midpoint wobbles only a few px. So the reported
+    seg/midpoint/length keep the refit merge-union extent, and the
+    descriptor samples the content-derived canonical support. When the
+    re-march collapses (refit landed off-ridge, or the line is mostly
+    gap), fall back to the union extent.
+
+    Returns (a, b, a_d, b_d, use_c): refit geometry extents, descriptor
+    support extents, and the canonical-accepted mask."""
+    mag0 = jnp.sqrt(gx * gx + gy * gy)
+    a0, b0 = a, b
+    a, b = _refine_segment(a, b, mag0, n_samp=32, probe=3)
+
+    gx_s = _smooth121(_smooth121(gx))
+    gy_s = _smooth121(_smooth121(gy))
+    mag_s = jnp.sqrt(gx_s * gx_s + gy_s * gy_s)
+    ang_map_s = jnp.arctan2(gy_s, gx_s) + 0.5 * jnp.pi
+    # March from BOTH the refit and the PRE-refit geometry and keep the
+    # longer extent per line. Detection seeds lie on a gradient RIDGE,
+    # but the TLS refit of a THICK stroke centers on the magnitude
+    # VALLEY between its two edge ridges, where the smoothed gradient
+    # cancels and the angle map is noise — a march along the refit line
+    # dies instantly on axis-aligned thick strokes (diagonals survive
+    # only because the sampling lattice keeps them off-center). On THIN
+    # strokes the refit line is the better-registered track. Each
+    # marched extent is expressed on the refit line, which carries the
+    # lateral registration.
+    ang_r = jnp.arctan2((b - a)[:, 1], (b - a)[:, 0])
+    mid_r = 0.5 * (a + b)
+    dirv = jnp.stack([jnp.cos(ang_r), jnp.sin(ang_r)], axis=-1)
+    t_on = jnp.linspace(0.15, 0.85, 16)
+
+    def _march_span(p, q):
+        """March along segment (p,q); return (lo, hi) signed extent along
+        the REFIT line direction, measured from mid_r."""
+        ang = jnp.arctan2((q - p)[:, 1], (q - p)[:, 0])
+        mid = 0.5 * (p + q)
+        on_x = p[:, 0, None] + (q[:, 0] - p[:, 0])[:, None] * t_on[None, :]
+        on_y = p[:, 1, None] + (q[:, 1] - p[:, 1])[:, None] * t_on[None, :]
+        m_ref = jnp.median(_bilinear(mag_s, on_x, on_y), axis=-1)   # [C]
+        m_th = (0.8 * m_ref)[:, None]  # _grow continues at 0.5 x this
+        fwd = _grow(mid, ang, ang_map_s, mag_s, m_th, +1.0,
+                    max_steps=192, stride=1.0, bridge=CANON_BRIDGE,
+                    angle_tol=0.55)
+        bwd = _grow(mid, ang, ang_map_s, mag_s, m_th, -1.0,
+                    max_steps=192, stride=1.0, bridge=CANON_BRIDGE,
+                    angle_tol=0.55)
+        off = jnp.sum((mid - mid_r) * dirv, axis=-1)
+        sgn = jnp.sign(jnp.sum(
+            jnp.stack([jnp.cos(ang), jnp.sin(ang)], -1) * dirv, axis=-1))
+        sgn = jnp.where(sgn == 0, 1.0, sgn)
+        lo = off - jnp.where(sgn > 0, bwd, fwd)
+        hi = off + jnp.where(sgn > 0, fwd, bwd)
+        return lo, hi
+
+    lo_r, hi_r = _march_span(a, b)
+    lo_u, hi_u = _march_span(a0, b0)
+    pick_u = (hi_u - lo_u) > (hi_r - lo_r)
+    lo = jnp.where(pick_u, lo_u, lo_r)
+    hi = jnp.where(pick_u, hi_u, hi_r)
+    a_c = mid_r + dirv * lo[:, None]
+    b_c = mid_r + dirv * hi[:, None]
+    a_c = jnp.clip(a_c, 0.0, jnp.asarray([W_img - 1.0, H_img - 1.0]))
+    b_c = jnp.clip(b_c, 0.0, jnp.asarray([W_img - 1.0, H_img - 1.0]))
+
+    ln_c = jnp.linalg.norm(b_c - a_c, axis=-1)
+    ln_u = jnp.linalg.norm(b - a, axis=-1)
+    use_c = (ln_c >= 0.5 * min_length) & (ln_c >= 0.35 * ln_u)
+    a_d = jnp.where(use_c[:, None], a_c, a)
+    b_d = jnp.where(use_c[:, None], b_c, b)
+    return a, b, a_d, b_d, use_c
+
+
 @partial(jax.jit, static_argnames=("capacity", "cell", "min_length",
                                    "n_octaves", "backend"))
 def extract_lines(
@@ -586,72 +693,9 @@ def extract_lines(
     b = b[top_i]
     valid = top_val > 0
 
-    # --- final level-0 lateral re-registration before describing ---
-    # A merged segment inherits the LATERAL offset of whichever collinear
-    # fragment survived the dedup, and octave-1 survivors carry a
-    # half-resolution refit: across frames the same physical edge can sit
-    # ~1.5 px off its own ridge in different directions. The LBD samples
-    # 8 bands at 2 px spacing, so a 1.5 px perpendicular registration
-    # error decorrelates every off-stroke band's statistics (measured:
-    # ~70/256 bits flip between two detections of the same edge whose
-    # extents agree to a pixel, killing descriptor matching whenever the
-    # seeding grid changes which fragment wins). One subpixel TLS refit
-    # of the final top-K against the LEVEL-0 magnitude field pins all
-    # survivors — whatever octave or fragment they came from — to the
-    # same physical ridge (true-pair cross-frame Hamming 66-124 -> 4-33
-    # on the shifted-crop fixture).
-    mag0 = jnp.sqrt(gx * gx + gy * gy)
-    a, b = _refine_segment(a, b, mag0, n_samp=32, probe=3)
-
-    # --- canonical extent: re-march the refined line until the edge
-    # actually dies. The merged extent is a union over whichever
-    # fragments happened to be seeded this frame, so it wobbles 5-20 px
-    # with the seeding grid; the descriptor samples in extent-normalized
-    # coordinates, so extent wobble alone flips ~50 bits. Marching
-    # outward from the refined midpoint makes the endpoints a function
-    # of the IMAGE CONTENT (where the gradient run ends), not of the
-    # seed census. Two level-tolerance choices matter: (1) the march
-    # runs on the SMOOTHED level-0 field (an L1 detection's edge is
-    # blurry at L0 and dies instantly against raw-gradient sampling);
-    # (2) the continuation threshold is PER-LINE — a fraction of the
-    # line's own median on-line magnitude — not the global MAG_FRAC
-    # floor, which an L1-octave low-contrast edge never clears at L0.
-    gx_s = _smooth121(_smooth121(gx))
-    gy_s = _smooth121(_smooth121(gy))
-    mag_s = jnp.sqrt(gx_s * gx_s + gy_s * gy_s)
-    ang_map_s = jnp.arctan2(gy_s, gx_s) + 0.5 * jnp.pi
-    ang_r = jnp.arctan2((b - a)[:, 1], (b - a)[:, 0])
-    mid_r = 0.5 * (a + b)
-    t_on = jnp.linspace(0.15, 0.85, 16)
-    on_x = a[:, 0, None] + (b[:, 0] - a[:, 0])[:, None] * t_on[None, :]
-    on_y = a[:, 1, None] + (b[:, 1] - a[:, 1])[:, None] * t_on[None, :]
-    m_ref = jnp.median(_bilinear(mag_s, on_x, on_y), axis=-1)  # [C]
-    m_th = (0.8 * m_ref)[:, None]      # _grow continues at 0.5 x this
-    fwd = _grow(mid_r, ang_r, ang_map_s, mag_s, m_th, +1.0,
-                max_steps=192, stride=1.0, bridge=5, angle_tol=0.55)
-    bwd = _grow(mid_r, ang_r, ang_map_s, mag_s, m_th, -1.0,
-                max_steps=192, stride=1.0, bridge=5, angle_tol=0.55)
-    dirv = jnp.stack([jnp.cos(ang_r), jnp.sin(ang_r)], axis=-1)
-    a_c = mid_r - dirv * bwd[:, None]
-    b_c = mid_r + dirv * fwd[:, None]
-    a_c = jnp.clip(a_c, 0.0, jnp.asarray([W_img - 1.0, H_img - 1.0]))
-    b_c = jnp.clip(b_c, 0.0, jnp.asarray([W_img - 1.0, H_img - 1.0]))
-
-    # The canonical extent serves the DESCRIPTOR only. As the feature's
-    # geometry it was measured WORSE (grid-scene geometric repeatability
-    # 0.72 -> 0.44): a marginal gap that the bridge crosses in one frame
-    # and not the next slides the midpoint 12-29 px along the line,
-    # while the merge-union midpoint wobbles only a few px. So the
-    # reported seg/midpoint/length keep the refit merge-union extent,
-    # and the descriptor samples the content-derived canonical support
-    # (cross-frame true-pair Hamming 53-99 -> 1-27 on the shifted-crop
-    # fixture). When the re-march collapses (refit landed off-ridge, or
-    # the line is mostly gap), fall back to the union extent.
-    ln_c = jnp.linalg.norm(b_c - a_c, axis=-1)
-    ln_u = jnp.linalg.norm(b - a, axis=-1)
-    use_c = (ln_c >= 0.5 * min_length) & (ln_c >= 0.35 * ln_u)
-    a_d = jnp.where(use_c[:, None], a_c, a)
-    b_d = jnp.where(use_c[:, None], b_c, b)
+    a, b, a_d, b_d, use_c = _canonical_support(
+        a, b, gx, gy, W_img, H_img, min_length
+    )
 
     seg = jnp.concatenate([a, b], axis=-1)
     mid = 0.5 * (a + b)
@@ -680,7 +724,17 @@ N_BANDS = 8          # bands across the line support region
 BAND_SAMPLES = 16    # samples along the line per band
 BAND_WIDTH = 7.0     # support region half-width in px
 LBD_SMOOTH = 2       # [1,2,1]/4 separable passes on (gx, gy) pre-sampling
-LBD_NOISE_FRAC = 0.1  # soft-threshold samples below this x line peak mag
+#   Swept on the grid-scene matcher re-association + shared-texture
+#   true/false Hamming separation: 1 pass 0.522/0.595 (sep 49|70),
+#   2 passes 0.557/0.637 (sep 36|68) <- best, 3 passes ~tied, 4 passes
+#   over-smooths (0.535/0.614, false floor drops to 58).
+#   MEASURED-WORSE (don't re-try): a per-line noise floor that
+#   soft-thresholds samples below a fraction of the line's peak
+#   magnitude (zeroing off-support noise bands) collapses true/false
+#   separation on textured scenes — at frac=0.1 true-pair median
+#   Hamming 47 vs false 5th-percentile 51 — because weak surrounding
+#   texture is exactly what distinguishes parallel same-stroke lines
+#   (grid scenes). The smoothing passes already de-noise the samples.
 
 
 def lbd_descriptor(
@@ -734,24 +788,6 @@ def lbd_descriptor(
     # Rotate into the line frame.
     g_par = ca[:, None, None] * sgx + sa[:, None, None] * sgy
     g_perp = -sa[:, None, None] * sgx + ca[:, None, None] * sgy
-
-    # Per-line noise floor: bands off the physical support sample only
-    # sensor/texture noise, and a comparison between two noise bands'
-    # statistics is decided by SAMPLING ERROR — a coin flip that re-tosses
-    # whenever the lattice moves (measured: a 2 px slide of the sample
-    # grid along the line, identical physical segment, flipped 44-62/256
-    # bits even on smoothed fields). Soft-thresholding each sample at a
-    # fraction of the line's own peak magnitude sends off-support samples
-    # to EXACTLY zero, so noise-band statistics tie at 0 and their
-    # comparison bits become deterministic (x > y is False on ties),
-    # while genuine texture and the stroke itself pass through shifted.
-    smag = jnp.sqrt(g_par * g_par + g_perp * g_perp)
-    tau = LBD_NOISE_FRAC * jnp.max(
-        jnp.max(smag, axis=-1), axis=-1
-    )[:, None, None]
-    scale = jnp.maximum(smag - tau, 0.0) / jnp.maximum(smag, 1e-6)
-    g_par = g_par * scale
-    g_perp = g_perp * scale
 
     # On-line support weight per sample column: max magnitude over a
     # +-1 px normal probe at the base position (the subpixel endpoints

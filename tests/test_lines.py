@@ -132,21 +132,32 @@ def test_lbd_descriptor_matches_across_shift():
     # A correct match is COLLINEAR with the shifted copy (midpoints can
     # slide along the line when the recovered extents differ, so gate on
     # perpendicular distance to the matched segment's line).
+    # Score descriptor RANKING conditioned on detection: for each frame-1
+    # line whose geometric counterpart exists among frame-2 detections
+    # (collinear within 5 px after the known shift), its Hamming nearest
+    # neighbour must be that counterpart. Rows with no detected
+    # counterpart are excluded — their NN is necessarily a false pair and
+    # measures detection repeatability (covered by
+    # test_line_repeatability.py), not the descriptor.
     s1 = np.asarray(f1.seg); s2 = np.asarray(f2.seg)
-    good = 0; tot = 0
-    for i in range(len(v1)):
-        if not v1[i]:
-            continue
-        j = int(np.argmin(d[i]))
-        if d[i, j] > 80:
-            continue
-        tot += 1
+
+    def _collinear(i, j):
         a, b = s2[j, :2], s2[j, 2:]
         dv = b - a
         n = np.array([-dv[1], dv[0]]) / max(np.linalg.norm(dv), 1e-6)
         p1 = s1[i, :2] + np.array([4, 3])
         p2 = s1[i, 2:] + np.array([4, 3])
-        if abs(np.dot(p1 - a, n)) < 5.0 and abs(np.dot(p2 - a, n)) < 5.0:
+        return abs(np.dot(p1 - a, n)) < 5.0 and abs(np.dot(p2 - a, n)) < 5.0
+
+    good = 0; tot = 0
+    for i in range(len(v1)):
+        if not v1[i]:
+            continue
+        if not any(_collinear(i, j) for j in np.nonzero(v2)[0]):
+            continue                      # counterpart not detected
+        tot += 1
+        j = int(np.argmin(d[i]))
+        if d[i, j] <= 80 and _collinear(i, j):
             good += 1
     assert tot >= 3
     assert good / tot >= 0.7, (good, tot)
