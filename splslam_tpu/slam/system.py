@@ -285,6 +285,7 @@ class System:
         self.init_used_h = None  # which two-view model won mono init
         self._pending: deque = deque()       # (stats_dev, ts, step_state)
         self._pending_batch = None           # deferred batch stats
+        self._batch_recovering = False       # inside a lost-batch replay
         self._pending_kf_out = None          # async keyframe-creation output
         self._th_depth_dev = jnp.float32(self.th_depth_m)
         self.timers = StageTimer()
@@ -417,47 +418,49 @@ class System:
             except AttributeError:
                 pass
             prev = self._pending_batch
-            self._pending_batch = (stats_dev, list(timestamps), new_step)
+            self._pending_batch = (stats_dev, list(timestamps), new_step,
+                                   imgs)
             if prev is not None:
                 self._consume_batch_stats(*prev)
         else:
-            self._consume_batch_stats(stats_dev, timestamps, new_step)
+            self._consume_batch_stats(stats_dev, timestamps, new_step, imgs)
         self.timers.add(
             "Tracking total / frame",
             (time.perf_counter() - t0) * 1e3 / max(B, 1),
         )
         return self.last_Tcw_np.copy()
 
-    def _consume_batch_stats(self, stats_dev, timestamps, step_snap):
+    def _consume_batch_stats(self, stats_dev, timestamps, step_snap,
+                             imgs=None):
         """Host-side bookkeeping for one tracked batch: per-frame logs,
         LOST handling, and the batch-final keyframe/reloc decisions
         (which act on `step_snap`, the StepState holding that batch's
-        final FrameData)."""
+        final FrameData).
+
+        A loss in the MIDDLE of a batch does not wait for the batch's
+        final frame: the staged batch images (`imgs`, kept alive exactly
+        for this) are replayed SEQUENTIALLY from the first lost frame
+        through the per-frame path, whose per-frame relocalization
+        (reference Tracking.cc:2895/:3064 — attempted on EVERY lost
+        frame) recovers at the first re-observed view instead of burning
+        the rest of the batch on a diverged pose. Any newer batch already
+        dispatched from the diverged state is discarded and folded into
+        the replay."""
         stats = np.asarray(stats_dev)   # one fetch per batch
         B = stats.shape[0]
         self._resolve_kf_out()
-        for b in range(B):
-            row = stats[b]
-            n_in = int(row[pipeline.S_N_IN])
-            Tcw_np = row[pipeline.S_POSE].reshape(4, 4).astype(np.float32)
-            lost = n_in < 10
-            if lost:
-                self.state = TrackingState.LOST
-                self._frames_lost += 1
-            else:
-                self.state = TrackingState.OK
-                self._frames_lost = 0
-                self.last_Tcw_np = Tcw_np
-            # Lost frames log the last good pose, matching the
-            # sequential path (_process_one); the diverged device pose
-            # is not a meaningful estimate.
-            self._log_frame(timestamps[b],
-                            Tcw_np if not lost else self.last_Tcw_np,
-                            lost=lost)
-            self.frames_since_kf += 1
+        lost_rows = stats[:, pipeline.S_N_IN].astype(np.int64) < 10
+        if (lost_rows.any() and imgs is not None and self.vocab is not None
+                and self.n_kfs > 0 and not self._batch_recovering):
+            b0 = int(np.argmax(lost_rows))
+            self._consume_rows(stats, timestamps, 0, b0)
+            self._recover_batch_suffix(imgs, timestamps, b0)
+            return
+        self._consume_rows(stats, timestamps, 0, B)
         if (self.state == TrackingState.LOST and self.vocab is not None
                 and self.n_kfs > 0):
-            # Mid-batch losses surface here: attempt relocalization on the
+            # Fallback when no staged images were kept (imgs=None, or a
+            # loss during a replay): attempt relocalization on the
             # batch's final frame (its FrameData is the one retained on
             # device), as the sequential path does per frame.
             self.trajectory.pop()
@@ -477,6 +480,60 @@ class System:
                                   timestamps[-1])
             self._log_frame(timestamps[-1], self.last_Tcw_np, lost=False)
             self.frames_since_kf = 0
+
+    def _consume_rows(self, stats, timestamps, lo: int, hi: int):
+        """Per-frame bookkeeping for rows [lo, hi) of a batch's stats."""
+        for b in range(lo, hi):
+            row = stats[b]
+            n_in = int(row[pipeline.S_N_IN])
+            Tcw_np = row[pipeline.S_POSE].reshape(4, 4).astype(np.float32)
+            lost = n_in < 10
+            if lost:
+                self.state = TrackingState.LOST
+                self._frames_lost += 1
+            else:
+                self.state = TrackingState.OK
+                self._frames_lost = 0
+                self.last_Tcw_np = Tcw_np
+            # Lost frames log the last good pose, matching the
+            # sequential path (_process_one); the diverged device pose
+            # is not a meaningful estimate.
+            self._log_frame(timestamps[b],
+                            Tcw_np if not lost else self.last_Tcw_np,
+                            lost=lost)
+            self.frames_since_kf += 1
+
+    def _recover_batch_suffix(self, imgs, timestamps, b0: int):
+        """Replay frames [b0:] of a lost batch (plus any newer batch
+        already dispatched from the diverged state) through the
+        SEQUENTIAL per-frame path, which attempts relocalization on
+        every lost frame — so tracking resumes at the first frame that
+        re-observes the map, not at the batch boundary. `imgs` is the
+        staged device array kept alive alongside the deferred stats
+        ([Bf,2,H,W] stereo pairs or [Bf,H,W] mono)."""
+        self._batch_recovering = True
+        try:
+            segments = [(imgs, timestamps, b0)]
+            if self._pending_batch is not None:
+                # The next batch was dispatched before this batch's loss
+                # was visible on the host: its device results integrated
+                # a diverged pose, so drop them and re-track its frames.
+                _, ts2, _, imgs2 = self._pending_batch
+                self._pending_batch = None
+                if imgs2 is not None:
+                    segments.append((imgs2, ts2, 0))
+            n_replay = sum(len(ts) - lo for _, ts, lo in segments)
+            self.frame_id -= n_replay  # replay re-advances it
+            for arr, ts_list, lo in segments:
+                host = np.asarray(arr)
+                for b in range(lo, len(ts_list)):
+                    if host.ndim == 4:      # stereo [B, 2, H, W]
+                        self.track_stereo(host[b, 0], host[b, 1],
+                                          ts_list[b])
+                    else:                   # mono [B, H, W]
+                        self.track_mono(host[b], ts_list[b])
+        finally:
+            self._batch_recovering = False
 
     def track_rgbd(self, img, depth, timestamp: float) -> np.ndarray:
         t0 = time.perf_counter()
@@ -571,11 +628,12 @@ class System:
             except AttributeError:
                 pass
             prev = self._pending_batch
-            self._pending_batch = (stats_dev, list(timestamps), new_step)
+            self._pending_batch = (stats_dev, list(timestamps), new_step,
+                                   imgs)
             if prev is not None:
                 self._consume_batch_stats(*prev)
         else:
-            self._consume_batch_stats(stats_dev, timestamps, new_step)
+            self._consume_batch_stats(stats_dev, timestamps, new_step, imgs)
         self.timers.add(
             "Tracking total / frame",
             (time.perf_counter() - t0) * 1e3 / max(B, 1),

@@ -280,12 +280,15 @@ def test_load_orbslam_txt_roundtrip(tmp_path):
 
 @pytest.mark.slow
 def test_midbatch_kidnap_recovers_on_batch_final_frame():
-    """Batched tracking's documented LOST handling (slam/system.py
-    track_*_batch): a kidnap INSIDE a batch surfaces as LOST on the
-    batch-final frame, where relocalization is attempted with the only
-    FrameData the device retained. A batch whose final frame revisits
-    known scenery must come back OK at the revisited pose; pure-garbage
-    batches must stay LOST without corrupting the map."""
+    """Batched tracking's LOST handling (slam/system.py track_*_batch):
+    a kidnap inside a batch triggers a sequential replay of the staged
+    images with per-frame relocalization attempts. A batch whose final
+    frame revisits known scenery must come back OK at the revisited
+    pose; pure-garbage batches must stay LOST without corrupting the
+    map. (Kidnaps are kept short enough to stay under the sequential
+    path's tiny-map reset — >5 consecutive lost frames with <=5
+    keyframes resets the system, reference Tracking.cc:649-657, which
+    the replay now faithfully applies to batched tracking too.)"""
     K, bf, frames, gt = make_stereo_sequence(
         n_frames=15, motion="forward", width=320, height=240
     )
@@ -304,14 +307,14 @@ def test_midbatch_kidnap_recovers_on_batch_final_frame():
     n_kf0 = sysm.n_kfs
 
     blank = np.full((240, 320), 128.0, np.float32)
-    # Batch 1: kidnap at the first frame, garbage throughout -> the
-    # batch-final reloc attempt has nothing to match; stays LOST.
-    b1 = [(blank, blank)] * 4
-    sysm.track_stereo_batch(b1, [1.5 + 0.1 * j for j in range(4)])
+    # Batch 1: kidnap at the first frame, garbage throughout -> every
+    # replayed frame's reloc attempt has nothing to match; stays LOST.
+    b1 = [(blank, blank)] * 2
+    sysm.track_stereo_batch(b1, [1.5 + 0.1 * j for j in range(2)])
     sysm.drain()
     assert sysm.state == TrackingState.LOST
     # Batch 2: still garbage except the FINAL frame revisits frame 6's
-    # view -> batch-final relocalization must recover.
+    # view -> the replay's relocalization must recover there.
     b2 = [(blank, blank)] * 3 + [frames[6]]
     sysm.track_stereo_batch(b2, [2.0 + 0.1 * j for j in range(4)])
     sysm.drain()
@@ -320,3 +323,49 @@ def test_midbatch_kidnap_recovers_on_batch_final_frame():
     assert np.linalg.norm(p - gt[6][:3, 3]) < 0.08, p
     # the kidnap must not have minted keyframes from garbage
     assert sysm.n_kfs <= n_kf0 + 1
+
+
+@pytest.mark.slow
+def test_midbatch_kidnap_recovers_mid_batch():
+    """A kidnap INSIDE a batch must not burn the rest of the batch: the
+    staged images are replayed sequentially from the first lost frame,
+    so tracking recovers at the first frame that re-observes the map
+    (per-frame relocalization, reference Tracking.cc:2895) instead of
+    waiting for the batch boundary. With deferred batch stats the NEXT
+    batch has already been dispatched from the diverged pose when the
+    loss surfaces — its device results must be discarded and its frames
+    folded into the replay."""
+    K, bf, frames, gt = make_stereo_sequence(
+        n_frames=15, motion="forward", width=320, height=240
+    )
+    st = Settings(
+        fx=float(K[0, 0]), fy=float(K[1, 1]), cx=float(K[0, 2]),
+        cy=float(K[1, 2]), bf=float(bf), width=320, height=240,
+        n_features=600, n_levels=4, th_depth=40.0, fps=10,
+        max_points=8192, max_keyframes=64, local_window=1024,
+        enable_local_mapping=True, batch_defer_stats=True,
+    )
+    sysm = System(st, Sensor.STEREO)
+    for i, (l, r) in enumerate(frames[:6]):
+        sysm.track_stereo(l, r, i * 0.1)
+    sysm.drain()
+    assert sysm.state == TrackingState.OK
+
+    blank = np.full((240, 320), 128.0, np.float32)
+    # Batch A: kidnap at its FIRST frame only; frames 1-3 re-observe
+    # known scenery. Batch B: all good frames, dispatched while A's
+    # loss is still invisible to the host (deferred stats).
+    ba = [(blank, blank)] + [frames[6], frames[7], frames[8]]
+    bb = [frames[9], frames[10], frames[11], frames[12]]
+    sysm.track_stereo_batch(ba, [1.5 + 0.1 * j for j in range(4)])
+    sysm.track_stereo_batch(bb, [1.9 + 0.1 * j for j in range(4)])
+    sysm.drain()
+    assert sysm.state == TrackingState.OK
+    # Exactly one frame (the blank) may be lost; every re-observed
+    # frame after it must be tracked, not written off until batch end.
+    entries = sysm.trajectory[-8:]
+    assert sum(e.lost for e in entries) <= 1
+    assert not entries[-1].lost
+    # and the recovered tail must be metrically right, not just "OK"
+    p = sysm.poses()[-1][:3, 3]
+    assert np.linalg.norm(p - gt[12][:3, 3]) < 0.08, p
