@@ -517,21 +517,38 @@ def _canonical_support(a, b, gx, gy, W_img, H_img, min_length):
     dirv = jnp.stack([jnp.cos(ang_r), jnp.sin(ang_r)], axis=-1)
     t_on = jnp.linspace(0.15, 0.85, 16)
 
-    def _march_span(p, q):
-        """March along segment (p,q); return (lo, hi) signed extent along
-        the REFIT line direction, measured from mid_r."""
+    def _span_inputs(p, q):
+        """Per-geometry march inputs: midpoint, direction, and the
+        PER-LINE continuation threshold (a fraction of the line's own
+        median on-line smoothed magnitude — see the docstring)."""
         ang = jnp.arctan2((q - p)[:, 1], (q - p)[:, 0])
         mid = 0.5 * (p + q)
         on_x = p[:, 0, None] + (q[:, 0] - p[:, 0])[:, None] * t_on[None, :]
         on_y = p[:, 1, None] + (q[:, 1] - p[:, 1])[:, None] * t_on[None, :]
         m_ref = jnp.median(_bilinear(mag_s, on_x, on_y), axis=-1)   # [C]
-        m_th = (0.8 * m_ref)[:, None]  # _grow continues at 0.5 x this
-        fwd = _grow(mid, ang, ang_map_s, mag_s, m_th, +1.0,
-                    max_steps=192, stride=1.0, bridge=CANON_BRIDGE,
-                    angle_tol=0.55)
-        bwd = _grow(mid, ang, ang_map_s, mag_s, m_th, -1.0,
-                    max_steps=192, stride=1.0, bridge=CANON_BRIDGE,
-                    angle_tol=0.55)
+        return mid, ang, (0.8 * m_ref)[:, None]  # _grow continues at 0.5x
+
+    # All FOUR marches (fwd/bwd x refit/union geometry) as ONE `_grow`
+    # dispatch: the march is a sequential chain of latency-bound local
+    # gathers, so 4 separate 192-step marches cost ~4x one 192-step
+    # march over 4x the lanes (the same mod-pi stacking as _grow_fb —
+    # backward at `ang` is bit-exact forward at `ang + pi`).
+    mid1, ang1, th1 = _span_inputs(a, b)
+    mid2, ang2, th2 = _span_inputs(a0, b0)
+    C = a.shape[0]
+    run = _grow(
+        jnp.concatenate([mid1, mid1, mid2, mid2], axis=0),
+        jnp.concatenate([ang1, ang1 + jnp.pi, ang2, ang2 + jnp.pi]),
+        ang_map_s, mag_s,
+        jnp.concatenate([th1, th1, th2, th2], axis=0), +1.0,
+        max_steps=192, stride=1.0, bridge=CANON_BRIDGE, angle_tol=0.55,
+    )
+    fwd1, bwd1 = run[0:C], run[C:2 * C]
+    fwd2, bwd2 = run[2 * C:3 * C], run[3 * C:4 * C]
+
+    def _span(mid, ang, fwd, bwd):
+        """(lo, hi) signed extent along the REFIT line direction,
+        measured from mid_r."""
         off = jnp.sum((mid - mid_r) * dirv, axis=-1)
         sgn = jnp.sign(jnp.sum(
             jnp.stack([jnp.cos(ang), jnp.sin(ang)], -1) * dirv, axis=-1))
@@ -540,8 +557,8 @@ def _canonical_support(a, b, gx, gy, W_img, H_img, min_length):
         hi = off + jnp.where(sgn > 0, fwd, bwd)
         return lo, hi
 
-    lo_r, hi_r = _march_span(a, b)
-    lo_u, hi_u = _march_span(a0, b0)
+    lo_r, hi_r = _span(mid1, ang1, fwd1, bwd1)
+    lo_u, hi_u = _span(mid2, ang2, fwd2, bwd2)
     pick_u = (hi_u - lo_u) > (hi_r - lo_r)
     lo = jnp.where(pick_u, lo_u, lo_r)
     hi = jnp.where(pick_u, hi_u, hi_r)
