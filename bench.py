@@ -23,7 +23,9 @@ import numpy as np
 # Persistent XLA compilation cache: first-run compiles of the fused
 # pipeline are minutes over the remote-compile tunnel; later processes
 # (driver re-runs) load the binaries from disk instead.
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/splslam_jax_cache")
+from splslam_tpu.io.cache import host_cache_dir as _hcd
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                      _hcd("/tmp/splslam_jax_cache"))
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "2")
 
 BASELINE_MS = 72.99  # reference KITTI stereo tracking total, BASELINE.md

@@ -32,7 +32,9 @@ import time
 
 import numpy as np
 
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/splslam_jax_cache")
+from splslam_tpu.io.cache import host_cache_dir as _hcd
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                      _hcd("/tmp/splslam_jax_cache"))
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "2")
 
 BASELINE_LOCAL_BA_MS = 117.22  # reference KITTI Local BA / keyframe

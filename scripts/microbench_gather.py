@@ -21,9 +21,11 @@ import os
 import sys
 import time
 
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/splslam_jax_cache")
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                      _hcd("/tmp/splslam_jax_cache"))
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "2")
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+from splslam_tpu.io.cache import host_cache_dir as _hcd
 
 import jax
 import jax.numpy as jnp
