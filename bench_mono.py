@@ -59,10 +59,18 @@ def main() -> None:
     # at amplitude 0.8 the excursion starves the init view's overlap
     # (inliers decay 90 -> <10 by frame 115, measured) and the timed
     # region ends up measuring loss recovery instead of tracking.
+    # texture="grid": strong straight strokes over full-contrast blobs,
+    # so BOTH feature families are genuinely exercised — the reference's
+    # TUM structure-texture setting. On the plain blob texture the
+    # detector finds only 6-11 weak curved-edge segments and the run
+    # tracks ~0 map-lines: the "point+line headline" was timing the line
+    # pipeline's cost without its work, and the point set alone decayed
+    # below the lost floor at the oscillation extremes (mapping off =
+    # frozen 2-KF map; mono scale drift compounds over cycles).
     n_frames = 120
     K, bf, frames, gt = make_stereo_sequence(
         n_frames=n_frames, width=W, height=H, fx=520.0,
-        motion="oscillate", seed=4, osc_amp=0.5,
+        motion="oscillate", seed=4, osc_amp=0.5, texture="grid",
     )
     import jax
     import numpy as np_

@@ -85,6 +85,28 @@ class TrackingState(enum.Enum):
     LOST = 3
 
 
+def track_lost(n_in: int, n_ln_in: int, using_line: bool,
+               recent_reloc: bool = False) -> bool:
+    """The reference's TrackLocalMap(Both) accept gate, inverted.
+
+    Point+line (reference src/Tracking.cc:2097-2108): within mMaxFrames
+    of a relocalization the frame must carry >=30 point inliers or >=15
+    line inliers; otherwise the acceptance cascade
+    ((pts>=21 & lines>=12) | pts>=28 | pts+lines>=12) — whose first two
+    clauses are implied by the third — reduces to pts+lines >= 12.
+    A frame rich in line inliers therefore survives a point drought,
+    the whole reason the reference tracks lines at all (its Tables 5-6).
+
+    Point-only runs keep this rebuild's established floor of 10 point
+    inliers (the reference's stock path uses 30/50, but its counts come
+    from ~2000-feature frames with a live growing map; see NOTES.md)."""
+    if not using_line:
+        return n_in < 10
+    if recent_reloc and n_in < 30 and n_ln_in < 15:
+        return True
+    return n_in + n_ln_in < 12
+
+
 @dataclass
 class Settings:
     """Flat config mirroring the reference YAML keys (SURVEY §2.3)."""
@@ -306,6 +328,7 @@ class System:
             self.kf_bow = None
             self.bow_n_words = 0
         self._frames_lost = 0
+        self._last_reloc_fid = -(10 ** 9)
 
     # ------------------------------------------------------------------
     # public API (reference System.h:84-128)
@@ -461,7 +484,19 @@ class System:
         stats = np.asarray(stats_dev)   # one fetch per batch
         B = stats.shape[0]
         self._resolve_kf_out()
-        lost_rows = stats[:, pipeline.S_N_IN].astype(np.int64) < 10
+        # Dual point+line lost gate per row (reference Tracking.cc:
+        # 2097-2108 via track_lost). recent_reloc is approximated at
+        # batch granularity: with deferred stats the exact per-row frame
+        # ids are not retained, and fps >> B makes the window boundary
+        # off by at most one batch.
+        recent = self.frame_id < (self._last_reloc_fid
+                                  + int(self.settings.fps) + B)
+        lost_rows = np.array([
+            track_lost(int(stats[b, pipeline.S_N_IN]),
+                       int(stats[b, pipeline.S_N_LN_IN]),
+                       self.settings.using_line, recent)
+            for b in range(B)
+        ])
         if (lost_rows[-1] and imgs is not None and self.vocab is not None
                 and self.n_kfs > 0 and not self._batch_recovering):
             b0 = int(np.argmax(lost_rows))
@@ -495,11 +530,14 @@ class System:
 
     def _consume_rows(self, stats, timestamps, lo: int, hi: int):
         """Per-frame bookkeeping for rows [lo, hi) of a batch's stats."""
+        recent = self.frame_id < (self._last_reloc_fid
+                                  + int(self.settings.fps) + (hi - lo))
         for b in range(lo, hi):
             row = stats[b]
             n_in = int(row[pipeline.S_N_IN])
             Tcw_np = row[pipeline.S_POSE].reshape(4, 4).astype(np.float32)
-            lost = n_in < 10
+            lost = track_lost(n_in, int(row[pipeline.S_N_LN_IN]),
+                              self.settings.using_line, recent)
             if lost:
                 self.state = TrackingState.LOST
                 self._frames_lost += 1
@@ -711,6 +749,8 @@ class System:
         self._resolve_kf_out()
         n_mm = int(stats[pipeline.S_N_MM])
         n_in = int(stats[pipeline.S_N_IN])
+        n_ln_in = int(stats[pipeline.S_N_LN_IN])
+        recent_reloc = fid < self._last_reloc_fid + int(self.settings.fps)
         Tcw_np = stats[pipeline.S_POSE].reshape(4, 4).astype(np.float32)
 
         if n_mm < 20 or n_in < 10:
@@ -732,7 +772,8 @@ class System:
                 if fid == self.frame_id:
                     self.step = step_state
 
-        if n_in < 10:
+        if track_lost(n_in, n_ln_in, self.settings.using_line,
+                      recent_reloc):
             # Relocalization (reference Tracking.cc:2895 / :3064): BoW
             # candidates -> PnP RANSAC -> GN refine, accept >= threshold.
             if self.vocab is not None and self.n_kfs > 0:
@@ -820,6 +861,7 @@ class System:
                     self.step = corrected
                 self.state = TrackingState.OK
                 self._frames_lost = 0
+                self._last_reloc_fid = self.frame_id
                 self.ref_kf = c
                 self.last_Tcw_np = Tcw_np
                 self._log_frame(ts, Tcw_np, lost=False)
