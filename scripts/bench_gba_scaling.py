@@ -1,0 +1,71 @@
+"""Virtual-mesh scaling measurement for the edge-sharded GBA
+(round-3 VERDICT #7: 'shards correctly' vs 'scales' are different
+claims — record edges/s at n=1 vs n=8 so the psum path is MEASURED).
+
+Runs on XLA host-platform virtual devices (no TPU pod needed); the
+numbers quantify the solver's distribution overhead (psum volume vs
+local segment-sum work), not absolute chip speed. Usage:
+
+    python scripts/bench_gba_scaling.py [n_devices ...]
+
+Prints one JSON line per mesh size.
+"""
+
+import json
+import os
+import sys
+import time
+
+N_LIST = [int(a) for a in sys.argv[1:]] or [1, 2, 8]
+
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + f" --xla_force_host_platform_device_count={max(N_LIST)}"
+    ).strip()
+os.environ["JAX_PLATFORMS"] = "cpu"
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
+import numpy as np  # noqa: E402
+
+from __graft_entry__ import make_gba_problem  # noqa: E402
+from splslam_tpu.parallel.gba_sharded import gba_sharded  # noqa: E402
+from splslam_tpu.parallel.mesh import make_mesh  # noqa: E402
+
+
+def main():
+    cam, prob = make_gba_problem()
+    E = int(prob.e_cam.shape[0])
+    rounds, gn_iters, cg_iters = 2, 2, 8
+    work_edges = E * rounds * gn_iters  # edge-linearizations per solve
+
+    for n in N_LIST:
+        mesh = make_mesh(n, axis="data")
+        # warm-up (compile)
+        out = gba_sharded(cam, prob, mesh, rounds=rounds,
+                          gn_iters=gn_iters, cg_iters=cg_iters)
+        jax.block_until_ready(out)
+        reps = 3
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            out = gba_sharded(cam, prob, mesh, rounds=rounds,
+                              gn_iters=gn_iters, cg_iters=cg_iters)
+            jax.block_until_ready(out)
+        dt = (time.perf_counter() - t0) / reps
+        print(json.dumps({
+            "metric": "gba_sharded_edge_linearizations_per_s",
+            "n_devices": n,
+            "edges": E,
+            "value": round(work_edges / dt),
+            "unit": "edges/s",
+            "solve_s": round(dt, 3),
+        }), flush=True)
+
+
+if __name__ == "__main__":
+    main()

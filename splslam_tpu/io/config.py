@@ -4,6 +4,28 @@ Reads the reference's exact config files (Examples/*/ *.yaml, written for
 cv::FileStorage — `%YAML:1.0` directive, flat dotted keys, optional
 `!!opencv-matrix` nodes) and produces a `Settings` (SURVEY §2.3 key list;
 consumed by the reference at src/Tracking.cc:57-265 and src/System.cc:51).
+
+Key coverage (tests/test_config.py::test_bundled_yaml_keys_all_consumed
+enumerates every key in every bundled YAML against this contract):
+
+- CONSUMED: Camera.*, ThDepth, DepthMapFactor, ORBextractor.*,
+  System.usingLine, System.usingLsdFeature, Lineextractor.nFeatures,
+  Lineextractor.nLevels, Lineextractor.min_line_length_ratio;
+  LEFT.*/RIGHT.* stay in the raw dict for the EuRoC stereo driver's
+  rectification maps (examples/stereo_euroc.py, reference
+  stereo_euroc.cc:71-115).
+- N/A (documented, intentionally unread): the remaining Lineextractor.*
+  knobs are INTERNAL tuning parameters of the reference's two vendored
+  detectors and have no counterpart in the TPU detector's algorithm —
+  LSD options `refine, scale, sigma_scale, quant, ang_th, log_eps,
+  density_th, n_bins` (LSDDetectorC, Thirdparty/line_descriptor) and
+  FLD options `threshold_length, threshold_dist, canny_th1, canny_th2,
+  canny_aperture_size, do_merge` (src/Lineextractor.cc:242-441). The
+  TPU detector (ops/lines.py) replaces both algorithms with a
+  gradient-ridge march whose own thresholds are fixed by the measured
+  repeatability gates; its selectable knobs are exactly the three the
+  reference exposes at the Tracking level (backend, octaves, minimum
+  length). `Camera.RGB` is consumed but a no-op for grayscale inputs.
 """
 
 from __future__ import annotations
@@ -76,6 +98,12 @@ def load_settings(path: str, **overrides):
         min_th_fast=num("ORBextractor.minThFAST", 7.0),
         using_line=bool(int(num("System.usingLine", 0))),
         line_features=int(num("Lineextractor.nFeatures", 128)),
+        # System.usingLsdFeature selects LSD vs FLD in the reference
+        # (src/Tracking.cc:143-157); here it selects the detector
+        # backend ("grow" = LSD-analog, "fld" = Canny-NMS-seeded).
+        using_lsd=bool(int(num("System.usingLsdFeature", 1))),
+        line_n_levels=int(num("Lineextractor.nLevels", 2)),
+        line_min_length_ratio=num("Lineextractor.min_line_length_ratio", 0.0),
     )
     for k, v in overrides.items():
         setattr(st, k, v)

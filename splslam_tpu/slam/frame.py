@@ -36,7 +36,8 @@ class FrameData(NamedTuple):
         return self.feat.capacity
 
 
-@partial(jax.jit, static_argnames=("spec", "undistort", "with_lines", "line_capacity"))
+@partial(jax.jit, static_argnames=("spec", "undistort", "with_lines",
+                                   "line_capacity", "line_cfg"))
 def build_frame_mono(
     image: jax.Array,
     cam: Camera,
@@ -44,19 +45,29 @@ def build_frame_mono(
     undistort: bool = False,
     with_lines: bool = False,
     line_capacity: int = 128,
+    line_cfg: tuple = ("grow", 2, 24.0),
 ) -> FrameData:
     """Monocular frame: ORB (+ optionally line) extraction in one program.
 
     The reference runs ORB and LSD/LBD in two std::threads
     (src/Frame.cc:299-312); here both are branches of one XLA computation
     and the compiler interleaves them.
+
+    `line_cfg` = (backend, n_octaves, min_length): the detector knobs the
+    reference reads from YAML (System.usingLsdFeature selects LSD vs FLD,
+    src/Tracking.cc:143-157; Lineextractor.nLevels and
+    min_line_length_ratio, src/Tracking.cc:166-265) — threaded from
+    io/config.load_settings through slam/system.System.
     """
     feat = extract_orb(image, spec)
     if undistort:
         feat = feat._replace(xy=undistort_points(cam, feat.xy))
     n = feat.capacity
     if with_lines:
-        lines = extract_lines(image, capacity=line_capacity)
+        lines = extract_lines(
+            image, capacity=line_capacity, backend=line_cfg[0],
+            n_octaves=line_cfg[1], min_length=line_cfg[2],
+        )
         if undistort:
             p1 = undistort_points(cam, lines.seg[:, :2])
             p2 = undistort_points(cam, lines.seg[:, 2:4])
@@ -71,13 +82,14 @@ def build_frame_mono(
     )
 
 
-@partial(jax.jit, static_argnames=("spec", "line_capacity"))
+@partial(jax.jit, static_argnames=("spec", "line_capacity", "line_cfg"))
 def build_frame_stereo(
     img_left: jax.Array,
     img_right: jax.Array,
     cam: Camera,
     spec: PyramidSpec,
     line_capacity: int = 8,
+    line_cfg: tuple = ("grow", 2, 24.0),
 ) -> FrameData:
     """Stereo frame: dual ORB extraction + row-constrained stereo matching
     with subpixel disparity (reference Frame ctor src/Frame.cc:99-155).
@@ -94,7 +106,10 @@ def build_frame_stereo(
         feat_l, feat_r, img_left, img_right, scales, cam.bf, cam.fx
     )
     if line_capacity > 1:
-        lines = extract_lines(img_left, capacity=line_capacity)
+        lines = extract_lines(
+            img_left, capacity=line_capacity, backend=line_cfg[0],
+            n_octaves=line_cfg[1], min_length=line_cfg[2],
+        )
     else:
         lines = LineFeatures.empty(line_capacity)
     return FrameData(
@@ -105,7 +120,8 @@ def build_frame_stereo(
     )
 
 
-@partial(jax.jit, static_argnames=("spec", "depth_factor", "line_capacity"))
+@partial(jax.jit, static_argnames=("spec", "depth_factor", "line_capacity",
+                                   "line_cfg"))
 def build_frame_rgbd(
     image: jax.Array,
     depth_map: jax.Array,
@@ -113,13 +129,17 @@ def build_frame_rgbd(
     spec: PyramidSpec,
     depth_factor: float = 1.0,
     line_capacity: int = 8,
+    line_cfg: tuple = ("grow", 2, 24.0),
 ) -> FrameData:
     """RGB-D frame (reference Frame ctor src/Frame.cc:157-210); lines
     extracted when line_capacity > 1 (see build_frame_stereo)."""
     feat = extract_orb(image, spec)
     u_right, depth = depth_from_rgbd(feat, depth_map, cam.bf, depth_factor)
     if line_capacity > 1:
-        lines = extract_lines(image, capacity=line_capacity)
+        lines = extract_lines(
+            image, capacity=line_capacity, backend=line_cfg[0],
+            n_octaves=line_cfg[1], min_length=line_cfg[2],
+        )
     else:
         lines = LineFeatures.empty(line_capacity)
     return FrameData(

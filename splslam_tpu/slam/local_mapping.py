@@ -31,6 +31,8 @@ class LocalMapper:
         self.last_stats = np.zeros((4,), np.float32)
         self.ba_ms_total = 0.0
         self.n_steps = 0
+        self.n_guarded = 0  # accumulated BA guard events (see
+        #   optim/ba.BAResult.n_guarded); 0 on a healthy run
 
     def on_keyframe(self, kf_idx: int):
         sys = self.sys
@@ -68,7 +70,7 @@ class LocalMapper:
         if self._pending_stats is None:
             return
         from splslam_tpu.slam.mapping_ops import (
-            MAX_KF_CULL, MSTAT_CULL, MSTAT_POSE,
+            MAX_KF_CULL, MSTAT_CULL, MSTAT_GUARD, MSTAT_POSE,
         )
 
         v = np.asarray(self._pending_stats)
@@ -83,4 +85,6 @@ class LocalMapper:
             cid = int(v[off])
             if cid >= 0:
                 culled.append((cid, v[off + 1:off + 17].reshape(4, 4)))
+        if v.shape[0] > MSTAT_GUARD:
+            self.n_guarded += int(v[MSTAT_GUARD])
         self.sys._on_mapping_result(self._pending_kf, pose, culled)

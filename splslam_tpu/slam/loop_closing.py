@@ -91,7 +91,7 @@ def compute_sim3_attempt(
     (s, R, t), n_r, inl = S3.sim3_ransac(
         key, X1, X2, uv1, uv2, is1, is2, matched, K3,
     )
-    (s, R, t), n_opt, inl2 = S3.optimize_sim3(
+    (s, R, t), n_opt, inl2, n_guarded = S3.optimize_sim3(
         s, R, t, X1, X2, uv1, uv2, is1, is2, inl, K3,
     )
     s = jnp.where(fix_scale_f > 0.5, 1.0, s)
@@ -111,7 +111,7 @@ def compute_sim3_attempt(
     dist2 = M.masked_distances(dist2, ok2 & (p1[:, 2] > 0), ok1, win)
     mt2, _ = M.nn_match(dist2, max_dist=M.TH_LOW)
     n_proj = jnp.sum((mt2 >= 0).astype(jnp.int32))
-    return n_matches, n_opt, n_proj, (s, R, t)
+    return n_matches, n_opt, n_proj, n_guarded, (s, R, t)
 
 
 @jax.jit
@@ -385,6 +385,9 @@ class LoopCloser:
         #   kept permanently in the essential graph (reference
         #   KeyFrame::AddLoopEdge, src/LoopClosing.cc:575-578)
         self.corrections = 0
+        self.n_guarded = 0  # accumulated solver guard events (Sim3 GN,
+        #   essential graph, GBA); 0 on a healthy run — e2e tests assert
+        #   this so a silently no-opped solve can never ship again
 
     # ------------------------------------------------------------------
     def on_keyframe(self, kf: int):
@@ -458,10 +461,11 @@ class LoopCloser:
             )
         )
         fix_scale = sys.sensor in (Sensor.STEREO, Sensor.RGBD)
-        n_m, n_opt, n_proj, (s, R, t) = compute_sim3_attempt(
+        n_m, n_opt, n_proj, n_grd, (s, R, t) = compute_sim3_attempt(
             jax.random.PRNGKey(kf), sys.map, jnp.int32(kf), jnp.int32(cand),
             K3, jnp.float32(1.0 if fix_scale else 0.0),
         )
+        self.n_guarded += int(n_grd)
         if (int(n_m) < MIN_MATCHES or int(n_opt) < MIN_SIM3_INLIERS
                 or int(n_proj) < MIN_PROJ_MATCHES):
             return False
@@ -492,11 +496,12 @@ class LoopCloser:
         free = jnp.arange(K) < n
         free = free & (jnp.arange(K) != 0)
         s_all = jnp.ones((K,))
-        s_f, R_f, t_f = S3.pose_graph_sim3(
+        s_f, R_f, t_f, n_grd = S3.pose_graph_sim3(
             s_all, Tcw[:, :3, :3], Tcw[:, :3, 3],
             free, edges, iters=15,
             fix_scale=sys.sensor.name != "MONOCULAR",
         )
+        self.n_guarded += int(n_grd)
         sys.map = _apply_pose_graph(
             sys.map, s_f, R_f, t_f, jnp.arange(K) < n
         )
@@ -611,6 +616,7 @@ class LoopCloser:
             )
             prob = add_line_edges(st, cam_ids, ln_ids, prob)
         res = ba_solve_pcg(sys.cam, prob, rounds=rounds)
+        self.n_guarded += int(res.n_guarded)
         # Fallback carry for lines outside the edge set: transform through
         # the owning keyframe's pose delta so they stay consistent with
         # the optimized map: X' = Tnew^-1 Told X.

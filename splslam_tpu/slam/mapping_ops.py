@@ -55,10 +55,13 @@ MAX_TRI = 256     # new landmarks per (kf, neighbor) pair
 # [0:4]   n_pts, n_edges, n_inlier_edges, total_chi2
 # [4:20]  post-BA Tcw of the stepped keyframe (row-major 4x4)
 # then MAX_KF_CULL blocks of 17: [culled_id (-1 none), Tcp row-major 4x4]
+# final slot: BA solver guard-event count (BAResult.n_guarded — 0 on a
+# healthy solve; LocalMapper accumulates it and e2e tests assert 0)
 MAX_KF_CULL = 2
 MSTAT_POSE = 4
 MSTAT_CULL = 20
-MSTAT_LEN = MSTAT_CULL + MAX_KF_CULL * 17
+MSTAT_GUARD = MSTAT_CULL + MAX_KF_CULL * 17
+MSTAT_LEN = MSTAT_GUARD + 1
 
 
 def _topk_covisible(st: MapState, kf: jax.Array, k: int, exclude_self=True):
@@ -1260,6 +1263,7 @@ def _mapping_step(
             ),
             Tkf.reshape(-1),
             cull_info,
+            res.n_guarded.astype(jnp.float32)[None],
         ]
     )
     return st, stats

@@ -350,7 +350,7 @@ def track_mono_impl(system, image: jax.Array, ts: float) -> np.ndarray:
             image.astype(jnp.float32), s.cam, s.spec,
             undistort=s.settings.has_distortion,
             with_lines=s.settings.using_line,
-            line_capacity=s.line_cap,
+            line_capacity=s.line_cap, line_cfg=s.line_cfg,
         )
         n_feat = int(jnp.sum(frame.feat.valid.astype(jnp.int32)))
         n_line = int(jnp.sum(frame.lines.valid.astype(jnp.int32)))
@@ -469,7 +469,7 @@ def track_mono_impl(system, image: jax.Array, ts: float) -> np.ndarray:
         scale_factor=s.settings.scale_factor,
         n_levels=s.settings.n_levels,
         with_lines=s.settings.using_line,
-        line_capacity=s.line_cap,
+        line_capacity=s.line_cap, line_cfg=s.line_cfg,
         undistort=s.settings.has_distortion,
         loc_mode=jnp.bool_(s.localization_only),
     )

@@ -158,13 +158,14 @@ def assemble_line_window(
 
 @partial(
     jax.jit,
-    static_argnames=("spec", "line_capacity"),
+    static_argnames=("spec", "line_capacity", "line_cfg"),
 )
 def build_frames_batch(
     imgs: jax.Array,   # [B,2,H,W] uint8 stereo pairs
     cam: Camera,
     spec: PyramidSpec,
     line_capacity: int = 1,
+    line_cfg: tuple = ("grow", 2, 24.0),
 ) -> FrameData:
     """Batched stereo frame construction, sequential inside a lax.scan.
 
@@ -178,7 +179,7 @@ def build_frames_batch(
     def one(_, pair):
         f = build_frame_stereo(
             pair[0].astype(jnp.float32), pair[1].astype(jnp.float32),
-            cam, spec, line_capacity=line_capacity,
+            cam, spec, line_capacity=line_capacity, line_cfg=line_cfg,
         )
         return None, f
 
@@ -257,11 +258,13 @@ def vo_frame_step(
     n_levels: int = 8,
     line_capacity: int = 8,
     loc_mode: jax.Array | bool = False,
+    line_cfg: tuple = ("grow", 2, 24.0),
 ) -> tuple[MapState, StepState, jax.Array]:
     """One stereo frame: two async device dispatches (build, track).
     Returns (map_state, new_step_state, packed_stats[STATS_LEN])."""
     frame = build_frames_batch(
-        imgs[None], cam, spec, line_capacity=line_capacity
+        imgs[None], cam, spec, line_capacity=line_capacity,
+        line_cfg=line_cfg,
     )
     mst, state, stats = track_frames_batch(
         frame, map_state, prev, th_depth_m, ref_kf, cam, scales,
@@ -388,6 +391,7 @@ def vo_batch_step(
     n_levels: int = 8,
     line_capacity: int = 1,
     loc_mode: jax.Array | bool = False,
+    line_cfg: tuple = ("grow", 2, 24.0),
 ) -> tuple[MapState, StepState, jax.Array]:
     """B stereo frames in TWO device dispatches (reference has no analog —
     this is the TPU answer to per-frame RPC latency on a tunnel-attached
@@ -395,7 +399,8 @@ def vo_batch_step(
 
     `imgs`: [B,2,H,W] uint8. Keyframe decisions happen between batches on
     the host (stats for every frame come back as [B, STATS_LEN])."""
-    frames = build_frames_batch(imgs, cam, spec, line_capacity=line_capacity)
+    frames = build_frames_batch(imgs, cam, spec, line_capacity=line_capacity,
+                                line_cfg=line_cfg)
     return track_frames_batch(
         frames, map_state, prev, th_depth_m, ref_kf, cam, scales,
         m_local, scale_factor, n_levels, loc_mode,
@@ -418,6 +423,7 @@ def vo_frame_step_mono(
     line_capacity: int = 128,
     undistort: bool = False,
     loc_mode: jax.Array | bool = False,
+    line_cfg: tuple = ("grow", 2, 24.0),
 ) -> tuple[MapState, StepState, jax.Array]:
     """Monocular step (reference GrabImageMonocular -> Track / TrackBoth,
     src/Tracking.cc:360-417): frame build + tracking as two async
@@ -428,7 +434,7 @@ def vo_frame_step_mono(
     frame = build_frame_mono(
         image.astype(jnp.float32), cam, spec,
         undistort=undistort, with_lines=with_lines,
-        line_capacity=line_capacity,
+        line_capacity=line_capacity, line_cfg=line_cfg,
     )
     frame_b = jax.tree.map(lambda x: x[None], frame)
     mst, state, stats = track_frames_batch(
@@ -440,7 +446,7 @@ def vo_frame_step_mono(
 
 @partial(
     jax.jit,
-    static_argnames=("spec", "line_capacity", "undistort"),
+    static_argnames=("spec", "line_capacity", "undistort", "line_cfg"),
 )
 def build_frames_batch_mono(
     imgs: jax.Array,   # [B,H,W] uint8
@@ -448,6 +454,7 @@ def build_frames_batch_mono(
     spec: PyramidSpec,
     line_capacity: int = 128,
     undistort: bool = False,
+    line_cfg: tuple = ("grow", 2, 24.0),
 ) -> FrameData:
     """Batched monocular frame construction (see build_frames_batch for
     why a scan and why a separate program from tracking)."""
@@ -457,7 +464,7 @@ def build_frames_batch_mono(
         f = build_frame_mono(
             im.astype(jnp.float32), cam, spec,
             undistort=undistort, with_lines=line_capacity > 1,
-            line_capacity=line_capacity,
+            line_capacity=line_capacity, line_cfg=line_cfg,
         )
         return None, f
 
@@ -479,6 +486,7 @@ def vo_batch_step_mono(
     line_capacity: int = 128,
     undistort: bool = False,
     loc_mode: jax.Array | bool = False,
+    line_cfg: tuple = ("grow", 2, 24.0),
 ) -> tuple[MapState, StepState, jax.Array]:
     """B monocular frames in TWO device dispatches (the mono analog of
     vo_batch_step — the reference's per-frame GrabImageMonocular loop
@@ -486,7 +494,8 @@ def vo_batch_step_mono(
     Only valid AFTER map initialization (keyframe decisions run between
     batches on the host)."""
     frames = build_frames_batch_mono(
-        imgs, cam, spec, line_capacity=line_capacity, undistort=undistort
+        imgs, cam, spec, line_capacity=line_capacity, undistort=undistort,
+        line_cfg=line_cfg,
     )
     return track_frames_batch(
         frames, map_state, prev, th_depth_m, ref_kf, cam, scales,
@@ -567,6 +576,7 @@ def vo_frame_step_rgbd(
     depth_factor: float = 1.0,
     line_capacity: int = 8,
     loc_mode: jax.Array | bool = False,
+    line_cfg: tuple = ("grow", 2, 24.0),
 ) -> tuple[MapState, StepState, jax.Array]:
     """RGB-D step (reference GrabImageRGBD -> point-only Track,
     src/Tracking.cc:327-358): two async dispatches."""
@@ -575,6 +585,7 @@ def vo_frame_step_rgbd(
     frame = build_frame_rgbd(
         image.astype(jnp.float32), depth_map.astype(jnp.float32), cam, spec,
         depth_factor=depth_factor, line_capacity=line_capacity,
+        line_cfg=line_cfg,
     )
     frame_b = jax.tree.map(lambda x: x[None], frame)
     mst, state, stats = track_frames_batch(

@@ -134,9 +134,14 @@ class Settings:
     n_levels: int = 8
     ini_th_fast: float = 20.0
     min_th_fast: float = 7.0
-    # Lineextractor.* / System.usingLine
+    # Lineextractor.* / System.usingLine / System.usingLsdFeature
     using_line: bool = False
     line_features: int = 128
+    # usingLsdFeature=1 -> LSD-analog "grow" backend; 0 -> FLD-analog
+    # "fld" (reference src/Tracking.cc:143-157 busingLSD)
+    using_lsd: bool = True
+    line_n_levels: int = 2          # Lineextractor.nLevels
+    line_min_length_ratio: float = 0.0  # Lineextractor.min_line_length_ratio
     # capacities
     max_points: int = 65536
     max_maplines: int = 4096
@@ -276,6 +281,21 @@ class System:
         # (src/Tracking.cc:321-354), and empty 128-slot line stages would
         # still cost compile time and per-frame work.
         self.line_cap = settings.line_features if settings.using_line else 1
+        # Line-detector config from the reference's YAML keys
+        # (src/Tracking.cc:143-265): System.usingLsdFeature selects the
+        # detector backend (1 -> the LSD-analog gradient-grow march,
+        # 0 -> the FLD-analog Canny-NMS seeding, ops/lines.py),
+        # Lineextractor.nLevels -> detector octaves, and
+        # min_line_length_ratio scales the minimum accepted segment
+        # length by the image's short side (reference LSDOptions
+        # min_length semantics).
+        ml = (settings.line_min_length_ratio
+              * min(settings.width, settings.height))
+        self.line_cfg = (
+            "grow" if settings.using_lsd else "fld",
+            int(settings.line_n_levels),
+            float(ml) if ml > 0 else 24.0,
+        )
         self.vocab = _load_vocab(settings.vocabulary_path) \
             if settings.enable_relocalization else None
         self._reset_runtime()
@@ -358,7 +378,7 @@ class System:
             frame = build_frame_stereo(
                 imgs[0].astype(jnp.float32), imgs[1].astype(jnp.float32),
                 self.cam, self.spec,
-                line_capacity=self.line_cap,
+                line_capacity=self.line_cap, line_cfg=self.line_cfg,
             )
             self._stereo_initialize(frame, timestamp)
             return self.last_Tcw_np.copy()
@@ -368,7 +388,7 @@ class System:
             # build the frame and go straight to relocalization.
             frame = build_frame_stereo(
                 imgs[0].astype(jnp.float32), imgs[1].astype(jnp.float32),
-                self.cam, self.spec, line_capacity=self.line_cap,
+                self.cam, self.spec, line_capacity=self.line_cap, line_cfg=self.line_cfg,
             )
             step = StepState.fresh(frame, jnp.asarray(self.last_Tcw_np))
             if self.vocab is not None and self.n_kfs > 0:
@@ -383,7 +403,7 @@ class System:
             m_local=self.settings.local_window,
             scale_factor=self.settings.scale_factor,
             n_levels=self.settings.n_levels,
-            line_capacity=self.line_cap,
+            line_capacity=self.line_cap, line_cfg=self.line_cfg,
             loc_mode=jnp.bool_(self.localization_only),
         )
         return self._enqueue_step(new_step, stats_dev, timestamp)
@@ -430,10 +450,11 @@ class System:
             m_local=self.settings.local_window,
             scale_factor=self.settings.scale_factor,
             n_levels=self.settings.n_levels,
-            line_capacity=self.line_cap,
+            line_capacity=self.line_cap, line_cfg=self.line_cfg,
             loc_mode=jnp.bool_(self.localization_only),
         )
         self.step = new_step
+        fid0 = self.frame_id      # row b of this batch is frame fid0+b+1
         self.frame_id += B
         if self.settings.batch_defer_stats:
             try:
@@ -442,11 +463,12 @@ class System:
                 pass
             prev = self._pending_batch
             self._pending_batch = (stats_dev, list(timestamps), new_step,
-                                   imgs)
+                                   imgs, fid0)
             if prev is not None:
                 self._consume_batch_stats(*prev)
         else:
-            self._consume_batch_stats(stats_dev, timestamps, new_step, imgs)
+            self._consume_batch_stats(stats_dev, timestamps, new_step, imgs,
+                                      fid0)
         self.timers.add(
             "Tracking total / frame",
             (time.perf_counter() - t0) * 1e3 / max(B, 1),
@@ -454,7 +476,7 @@ class System:
         return self.last_Tcw_np.copy()
 
     def _consume_batch_stats(self, stats_dev, timestamps, step_snap,
-                             imgs=None):
+                             imgs=None, fid0=None):
         """Host-side bookkeeping for one tracked batch: per-frame logs,
         LOST handling, and the batch-final keyframe/reloc decisions
         (which act on `step_snap`, the StepState holding that batch's
@@ -485,25 +507,28 @@ class System:
         B = stats.shape[0]
         self._resolve_kf_out()
         # Dual point+line lost gate per row (reference Tracking.cc:
-        # 2097-2108 via track_lost). recent_reloc is approximated at
-        # batch granularity: with deferred stats the exact per-row frame
-        # ids are not retained, and fps >> B makes the window boundary
-        # off by at most one batch.
-        recent = self.frame_id < (self._last_reloc_fid
-                                  + int(self.settings.fps) + B)
+        # 2097-2108 via track_lost). The batch's starting frame id rides
+        # along with the deferred stats tuple, so the strict post-reloc
+        # window is computed from each row's TRUE frame id (round-3
+        # ADVICE: self.frame_id here is ahead of the consumed batch by
+        # up to 2B with batch_defer_stats).
+        if fid0 is None:
+            fid0 = self.frame_id - B
         lost_rows = np.array([
             track_lost(int(stats[b, pipeline.S_N_IN]),
                        int(stats[b, pipeline.S_N_LN_IN]),
-                       self.settings.using_line, recent)
+                       self.settings.using_line,
+                       fid0 + b + 1 < self._last_reloc_fid
+                       + int(self.settings.fps))
             for b in range(B)
         ])
         if (lost_rows[-1] and imgs is not None and self.vocab is not None
                 and self.n_kfs > 0 and not self._batch_recovering):
             b0 = int(np.argmax(lost_rows))
-            self._consume_rows(stats, timestamps, 0, b0)
+            self._consume_rows(stats, timestamps, 0, b0, fid0)
             self._recover_batch_suffix(imgs, timestamps, b0)
             return
-        self._consume_rows(stats, timestamps, 0, B)
+        self._consume_rows(stats, timestamps, 0, B, fid0)
         if (self.state == TrackingState.LOST and self.vocab is not None
                 and self.n_kfs > 0):
             # Fallback when no staged images were kept (imgs=None, or a
@@ -511,7 +536,8 @@ class System:
             # batch's final frame (its FrameData is the one retained on
             # device), as the sequential path does per frame.
             self.trajectory.pop()
-            if self._try_relocalize(step_snap, timestamps[-1]):
+            if self._try_relocalize(step_snap, timestamps[-1],
+                                    fid=fid0 + B):
                 self._frames_lost = 0
             else:
                 self._log_frame(timestamps[-1], self.last_Tcw_np, lost=True)
@@ -528,14 +554,18 @@ class System:
             self._log_frame(timestamps[-1], self.last_Tcw_np, lost=False)
             self.frames_since_kf = 0
 
-    def _consume_rows(self, stats, timestamps, lo: int, hi: int):
-        """Per-frame bookkeeping for rows [lo, hi) of a batch's stats."""
-        recent = self.frame_id < (self._last_reloc_fid
-                                  + int(self.settings.fps) + (hi - lo))
+    def _consume_rows(self, stats, timestamps, lo: int, hi: int,
+                      fid0: int | None = None):
+        """Per-frame bookkeeping for rows [lo, hi) of a batch's stats.
+        `fid0`: frame id preceding row 0 (row b is frame fid0 + b + 1)."""
+        if fid0 is None:
+            fid0 = self.frame_id - (hi - lo)
         for b in range(lo, hi):
             row = stats[b]
             n_in = int(row[pipeline.S_N_IN])
             Tcw_np = row[pipeline.S_POSE].reshape(4, 4).astype(np.float32)
+            recent = fid0 + b + 1 < (self._last_reloc_fid
+                                     + int(self.settings.fps))
             lost = track_lost(n_in, int(row[pipeline.S_N_LN_IN]),
                               self.settings.using_line, recent)
             if lost:
@@ -568,7 +598,7 @@ class System:
                 # The next batch was dispatched before this batch's loss
                 # was visible on the host: its device results integrated
                 # a diverged pose, so drop them and re-track its frames.
-                _, ts2, _, imgs2 = self._pending_batch
+                _, ts2, _, imgs2, _ = self._pending_batch
                 self._pending_batch = None
                 if imgs2 is not None:
                     segments.append((imgs2, ts2, 0))
@@ -602,7 +632,7 @@ class System:
             frame = build_frame_rgbd(
                 imgj, depthj, self.cam, self.spec,
                 depth_factor=self.settings.depth_map_factor,
-                line_capacity=self.line_cap,
+                line_capacity=self.line_cap, line_cfg=self.line_cfg,
             )
             self._stereo_initialize(frame, timestamp)
             return self.last_Tcw_np.copy()
@@ -615,7 +645,7 @@ class System:
             scale_factor=self.settings.scale_factor,
             n_levels=self.settings.n_levels,
             depth_factor=self.settings.depth_map_factor,
-            line_capacity=self.line_cap,
+            line_capacity=self.line_cap, line_cfg=self.line_cfg,
             loc_mode=jnp.bool_(self.localization_only),
         )
         return self._enqueue_step(new_step, stats_dev, timestamp)
@@ -666,11 +696,12 @@ class System:
             m_local=self.settings.local_window,
             scale_factor=self.settings.scale_factor,
             n_levels=self.settings.n_levels,
-            line_capacity=self.line_cap,
+            line_capacity=self.line_cap, line_cfg=self.line_cfg,
             undistort=self.settings.has_distortion,
             loc_mode=jnp.bool_(self.localization_only),
         )
         self.step = new_step
+        fid0 = self.frame_id      # row b of this batch is frame fid0+b+1
         self.frame_id += B
         if self.settings.batch_defer_stats:
             try:
@@ -679,11 +710,12 @@ class System:
                 pass
             prev = self._pending_batch
             self._pending_batch = (stats_dev, list(timestamps), new_step,
-                                   imgs)
+                                   imgs, fid0)
             if prev is not None:
                 self._consume_batch_stats(*prev)
         else:
-            self._consume_batch_stats(stats_dev, timestamps, new_step, imgs)
+            self._consume_batch_stats(stats_dev, timestamps, new_step, imgs,
+                                      fid0)
         self.timers.add(
             "Tracking total / frame",
             (time.perf_counter() - t0) * 1e3 / max(B, 1),
@@ -758,6 +790,13 @@ class System:
             res = self._track_refkf(step_state.frame)
             n_in = int(res.n_inliers)
             if n_in >= 10:
+                # The fallback match is point-only (bow_free_refkf_match
+                # drops all line associations), so the motion-model
+                # attempt's line-inlier count must not be counted toward
+                # the adopted pose's lost gate (the reference recounts
+                # both families in TrackLocalMap after
+                # TrackReferenceKeyFrame, src/Tracking.cc:2009-2108).
+                n_ln_in = 0
                 Tcw_np = np.asarray(res.Tcw, dtype=np.float32)
                 step_state = step_state._replace(
                     lm_gid=res.lm_gid,
@@ -814,7 +853,8 @@ class System:
         )
         self.kf_bow = V.BowTable(ids, vals)
 
-    def _try_relocalize(self, step_state: StepState, ts: float) -> bool:
+    def _try_relocalize(self, step_state: StepState, ts: float,
+                        fid: int | None = None) -> bool:
         from splslam_tpu.bow import vocabulary as V
         from splslam_tpu.slam import reloc
 
@@ -861,7 +901,8 @@ class System:
                     self.step = corrected
                 self.state = TrackingState.OK
                 self._frames_lost = 0
-                self._last_reloc_fid = self.frame_id
+                self._last_reloc_fid = (fid if fid is not None
+                                        else self.frame_id)
                 self.ref_kf = c
                 self.last_Tcw_np = Tcw_np
                 self._log_frame(ts, Tcw_np, lost=False)

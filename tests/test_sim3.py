@@ -62,9 +62,10 @@ def test_sim3_ransac_rejects_outliers():
     assert np.asarray(inl)[bad].mean() < 0.2
     assert abs(float(s) - s_gt) < 0.02
     # GN refinement tightens it
-    (s2, R2, t2), n2, _ = optimize_sim3(
+    (s2, R2, t2), n2, _, n_grd = optimize_sim3(
         s, R, t, X1, X2, uv1, uv2, ones, ones, inl, K3,
     )
+    assert int(n_grd) == 0
     assert abs(float(s2) - s_gt) < 0.01
     assert np.linalg.norm(np.asarray(R2) - R_gt) < 0.01
 
@@ -125,10 +126,11 @@ def test_pose_graph_distributes_loop_error():
     )
     free = jnp.asarray([False] + [True] * (Kn - 1))
     s_all = jnp.ones((Kn,))
-    s_f, R_f, t_f = pose_graph_sim3(
+    s_f, R_f, t_f, n_grd = pose_graph_sim3(
         s_all, jnp.asarray(gt[:, :3, :3] * 0 + est[:, :3, :3]),
         jnp.asarray(est[:, :3, 3]), free, edges, iters=15,
     )
+    assert int(n_grd) == 0
     t_last = np.asarray(t_f[-1])
     drift1 = np.linalg.norm(t_last - gt[-1][:3, 3])
     assert drift1 < 0.6 * drift0, (drift0, drift1)
