@@ -99,6 +99,16 @@ def main() -> None:
 
     ms = float(np.median(times) * 1000.0)
     fps = 1000.0 / ms
+    # Re-emit the OTHER recorded on-chip headline rows (Local BA /
+    # mono+line, measured by bench_mapping.py / bench_mono.py and
+    # recorded in BENCH_HEADLINES.json) so the single driver run of this
+    # file carries all three headline metrics; the live stereo row
+    # stays LAST (it is the line the driver parses).
+    from splslam_tpu.io.bench_record import load_headlines
+
+    for metric, row in sorted(load_headlines().items()):
+        if metric != "kitti_stereo_tracking_fps_per_chip":
+            print(json.dumps(row))
     print(json.dumps({
         "metric": "kitti_stereo_tracking_fps_per_chip",
         "value": round(fps, 2),

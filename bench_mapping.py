@@ -304,12 +304,19 @@ def main() -> None:
           "reference's CPU number has no RPC in it either); the 1-shot "
           "wall incl. the ~25-30 ms tunnel RPC floor is printed per row "
           "above.", file=sys.stderr)
-    print(json.dumps({
+    row = {
         "metric": "kitti_local_ba_ms_per_keyframe",
         "value": round(ms, 2),
         "unit": "ms",
         "vs_baseline": round(BASELINE_LOCAL_BA_MS / ms, 2),
-    }))
+    }
+    print(json.dumps(row))
+    from splslam_tpu.io.bench_record import record_headline
+
+    record_headline(
+        {**row, "mapping_total_ms": round(rows["Mapping total / keyframe"], 2)},
+        "bench_mapping.py",
+    )
 
 
 if __name__ == "__main__":

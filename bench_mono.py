@@ -149,12 +149,16 @@ def main() -> None:
 
     run_pass(timed=False)   # compile pass
     ms = min(run_pass(timed=True)[0] for _ in range(2))
-    print(json.dumps({
+    row = {
         "metric": "tum_mono_line_tracking_ms_per_frame",
         "value": round(ms, 2),
         "unit": "ms",
         "vs_baseline": round(BASELINE_MS / ms, 2),
-    }))
+    }
+    print(json.dumps(row))
+    from splslam_tpu.io.bench_record import record_headline
+
+    record_headline(row, "bench_mono.py")
     # Supplementary usingLine=0 ablation (stderr; the reference's own
     # A/B switch, System.usingLine — SURVEY SS4.3). Three possible
     # outcomes, all informative: a clean per-frame cost delta for the

@@ -379,7 +379,22 @@ def ba_solve(
         rho = jnp.where(
             chi2 <= d2, chi2, 2.0 * jnp.sqrt(d2 * jnp.maximum(chi2, 0.0)) - d2
         )
-        cost = jnp.sum(jnp.where(live, rho, 0.0))
+        # An ACTIVE edge whose projection a candidate step pushed behind
+        # the camera must PAY, not vanish: with where(live, rho, 0) a
+        # camera whose only live edges are Huber-saturated outliers gets
+        # a ~gradient/lambda step (curvature ~0, gradient Huber-bounded),
+        # flies off, its edges' z_ok flips False, their rho LEAVES the
+        # sum, the cost drops, and the runaway step is ACCEPTED —
+        # observed: keyframe translations of 1e18-1e19 silently written
+        # into the circuit map, which then fed inf into the essential
+        # graph (round-3/4 test_loop moved==0.0). g2o evaluates such
+        # edges at their (huge) chi2 instead; the flat penalty here is
+        # rho at chi2 = 1e8 — larger than any live edge's robust cost,
+        # so invalidating an edge can never be profitable.
+        penalty = 2.0 * jnp.sqrt(d2 * 1e8)
+        cost = jnp.sum(
+            jnp.where(live, rho, jnp.where(active, penalty, 0.0))
+        )
         return (Hcc, bc, Hpp, bp, W2), cost, chi2, z_ok
 
     def gn_step(state, sys, lam):
@@ -447,6 +462,20 @@ def ba_solve(
         stepn = jnp.linalg.norm(dx_p, axis=-1, keepdims=True)
         dx_p = dx_p * jnp.minimum(1.0, max_step / jnp.maximum(stepn, 1e-9))
 
+        # Camera trust region (same rationale as the landmark cap): a
+        # damped solve can propose a near-gradient/lambda step for a
+        # camera whose curvature is outlier-dominated; cap the
+        # translation step at half the window's spatial extent and the
+        # rotation step at 0.5 rad. Well-conditioned updates (mm / mrad)
+        # never touch the cap.
+        ext = 0.5 * (1.0 + jnp.max(
+            jnp.linalg.norm(C_f - centroid, axis=-1)))
+        tn_c = jnp.linalg.norm(dx_c[:, :3], axis=-1, keepdims=True)
+        rn_c = jnp.linalg.norm(dx_c[:, 3:], axis=-1, keepdims=True)
+        dx_c = dx_c * jnp.minimum(
+            jnp.minimum(1.0, ext / jnp.maximum(tn_c, 1e-9)),
+            jnp.minimum(1.0, 0.5 / jnp.maximum(rn_c, 1e-9)),
+        )
         # Apply updates (free cameras only).
         dx_c = dx_c * p.cam_free[:Cf, None].astype(jnp.float32)
         Tcw_f = jax.vmap(se3.se3_retract)(Tcw_all[:Cf], dx_c)
@@ -719,6 +748,17 @@ def ba_solve_pcg(
         stepn = jnp.linalg.norm(dx_p, axis=-1, keepdims=True)
         dx_p = dx_p * jnp.minimum(1.0, max_step / jnp.maximum(stepn, 1e-9))
 
+        # Camera trust region (see ba_solve: outlier-dominated camera
+        # blocks can draw near-gradient/lambda steps; GN steps here have
+        # no accept test at all, so the cap is the only brake).
+        ext = 0.5 * (1.0 + jnp.max(jnp.linalg.norm(
+            (C_all - centroid) * free_f, axis=-1)))
+        tn_c = jnp.linalg.norm(dx_c[:, :3], axis=-1, keepdims=True)
+        rn_c = jnp.linalg.norm(dx_c[:, 3:], axis=-1, keepdims=True)
+        dx_c = dx_c * jnp.minimum(
+            jnp.minimum(1.0, ext / jnp.maximum(tn_c, 1e-9)),
+            jnp.minimum(1.0, 0.5 / jnp.maximum(rn_c, 1e-9)),
+        )
         Tcw_new = jax.vmap(se3.se3_retract)(Tcw_all, dx_c)
         return (Tcw_new, xyz_all + dx_p), n_bad
 

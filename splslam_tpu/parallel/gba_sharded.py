@@ -142,6 +142,21 @@ def _gn_step_sharded(cam: Camera, p: BAProblem, Tcw_all, xyz_all, active,
     n_bad = (~ok).astype(jnp.int32) + jnp.sum(
         (lm_active & ~dxp_fin).astype(jnp.int32))
     dx_p = jnp.where((lm_active & dxp_fin)[:, None], dx_p, 0.0)
+    # Camera trust region (see optim/ba.py gn_step: outlier-dominated
+    # blocks can draw near-gradient/lambda steps; these GN steps have no
+    # accept test, so the cap is the only brake).
+    C_all = -jnp.einsum("cji,cj->ci", Tcw_all[:, :3, :3],
+                        Tcw_all[:, :3, 3], precision=_HI)
+    centroid = jnp.sum(C_all * free_f, 0) / jnp.maximum(
+        jnp.sum(free_f), 1.0)
+    ext = 0.5 * (1.0 + jnp.max(jnp.linalg.norm(
+        (C_all - centroid) * free_f, axis=-1)))
+    tn_c = jnp.linalg.norm(dx_c[:, :3], axis=-1, keepdims=True)
+    rn_c = jnp.linalg.norm(dx_c[:, 3:], axis=-1, keepdims=True)
+    dx_c = dx_c * jnp.minimum(
+        jnp.minimum(1.0, ext / jnp.maximum(tn_c, 1e-9)),
+        jnp.minimum(1.0, 0.5 / jnp.maximum(rn_c, 1e-9)),
+    )
     Tcw_new = jax.vmap(se3.se3_retract)(Tcw_all, dx_c)
     return Tcw_new, xyz_all + dx_p, n_bad
 

@@ -46,6 +46,8 @@ class LocalMapper:
             sys.map, jnp.int32(kf_idx), sys.cam, sys.scales,
             scale_factor=sys.settings.scale_factor,
             n_levels=sys.settings.n_levels,
+            ba_rounds=sys.settings.local_ba_rounds,
+            ba_iters=sys.settings.local_ba_iters,
             # cnThObs: 2 mono / 3 stereo-RGBD (reference LocalMapping.cc:419)
             th_obs=2 if sys.sensor == Sensor.MONOCULAR else 3,
             with_lines=sys.settings.using_line,

@@ -385,9 +385,16 @@ class LoopCloser:
         #   kept permanently in the essential graph (reference
         #   KeyFrame::AddLoopEdge, src/LoopClosing.cc:575-578)
         self.corrections = 0
-        self.n_guarded = 0  # accumulated solver guard events (Sim3 GN,
-        #   essential graph, GBA); 0 on a healthy run — e2e tests assert
-        #   this so a silently no-opped solve can never ship again
+        self.n_guarded = 0  # CORRECTION-path solver guard events
+        #   (essential graph, GBA); 0 on a healthy run — e2e tests
+        #   assert this so a silently no-opped correction can never
+        #   ship again (round-3 failure mode)
+        self.n_guarded_verify = 0  # speculative Sim3-verification guard
+        #   events: a degenerate candidate pair (too few / collinear
+        #   matches) legitimately yields a singular GN system whose
+        #   zeroed update is then REJECTED by the n_opt/n_proj gates —
+        #   counted separately so it is observable without failing the
+        #   correction invariant
 
     # ------------------------------------------------------------------
     def on_keyframe(self, kf: int):
@@ -465,7 +472,7 @@ class LoopCloser:
             jax.random.PRNGKey(kf), sys.map, jnp.int32(kf), jnp.int32(cand),
             K3, jnp.float32(1.0 if fix_scale else 0.0),
         )
-        self.n_guarded += int(n_grd)
+        self.n_guarded_verify += int(n_grd)
         if (int(n_m) < MIN_MATCHES or int(n_opt) < MIN_SIM3_INLIERS
                 or int(n_proj) < MIN_PROJ_MATCHES):
             return False

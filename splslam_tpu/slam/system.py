@@ -150,6 +150,14 @@ class Settings:
     # mapping
     enable_local_mapping: bool = True
     local_ba_window: int = 8
+    # Local-BA effort (reference: two 5-iteration phases with a chi2
+    # reclassification between them, src/Optimizer.cc:2713-2764).
+    # Measured on the 300-frame tour: MORE iterations are not better
+    # (2x8 diverged to 16.7% ATE vs 1.31% at 2x5 — the rotation-only
+    # yaw segment's near-null directions accumulate damage with every
+    # extra accepted step); keep the reference schedule.
+    local_ba_rounds: int = 2
+    local_ba_iters: int = 5
     # relocalization / loop detection
     enable_relocalization: bool = True
     vocabulary_path: str | None = None  # None -> bundled default vocab

@@ -294,8 +294,8 @@ def track_step(
     n_levels: int = 8,
     th_motion: float = 7.0,
     th_local: float = 4.0,
-    gn_rounds: int = 3,
-    gn_iters: int = 4,
+    gn_rounds: int = 4,
+    gn_iters: int = 6,
 ) -> TrackResult:
     """One full tracking step: the reference's TrackWithMotionModel(Both) +
     TrackLocalMap(Both) (src/Tracking.cc:1773-2108, :1836-1899, :2009-2053)
