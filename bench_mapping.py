@@ -208,6 +208,15 @@ def main() -> None:
           file=sys.stderr)
 
     # ================= mapping-side §6 rows =================
+    # Keyframe-axis bucket, as production LocalMapper dispatches it
+    # (slam/local_mapping.py): the 12-KF map's K-sized stages run on
+    # 32-row keyframe tables, not the 256-row capacity (NOTES round-4:
+    # the KF-cull observer histogram alone was 10.9 ms at capacity).
+    KB = min(mst.kfs.Tcw.shape[0],
+             max(32, 1 << (max(int(mst.n_kfs), 1) - 1).bit_length()))
+    mstb = mst._replace(kfs=jax.tree.map(lambda x: x[:KB], mst.kfs))
+    jax.block_until_ready(mstb.kfs.Tcw)
+
     @jax.jit
     def stage_cull(m, k):
         return MO.cull_points(m, k).pts.valid
@@ -234,15 +243,15 @@ def main() -> None:
         return MO.cull_keyframes(m, k)[0].kfs.valid
 
     rows["Map feature culling"] = timeit(
-        "Map feature culling", lambda: stage_cull(mst, kf))
+        "Map feature culling", lambda: stage_cull(mstb, kf))
     rows["Map features creation"] = timeit(
-        "Map features creation", lambda: stage_create(mst, kf))
+        "Map features creation", lambda: stage_create(mstb, kf))
     rows["(fuse: part of creation)"] = timeit(
-        "SearchInNeighbors fuse", lambda: stage_fuse(mst, kf))
+        "SearchInNeighbors fuse", lambda: stage_fuse(mstb, kf))
     rows["Local BA / keyframe"] = timeit(
-        "Local BA / keyframe", lambda: stage_ba(mst, kf))
+        "Local BA / keyframe", lambda: stage_ba(mstb, kf))
     rows["KeyFrame culling"] = timeit(
-        "KeyFrame culling", lambda: stage_kfcull(mst, kf))
+        "KeyFrame culling", lambda: stage_kfcull(mstb, kf))
 
     # Mapping total / KF insertion: the production fused programs. Both
     # DONATE their map argument, so the timed calls consume PRE-STAGED
@@ -253,7 +262,8 @@ def main() -> None:
     jax.block_until_ready(pool)
 
     def full():
-        m2, stats = MO.mapping_step(pool.pop(), kf, cam, scales)
+        m2, stats = MO.mapping_step(pool.pop(), kf, cam, scales,
+                                    k_bucket=KB)
         return stats
     rows["Mapping total / keyframe"] = timeit(
         "Mapping total / keyframe", full, n=n_rep, n_wall=n_wall)

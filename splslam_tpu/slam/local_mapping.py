@@ -42,6 +42,12 @@ class LocalMapper:
 
         from splslam_tpu.slam.system import Sensor
 
+        # Keyframe-axis bucket: next power of two >= the live count,
+        # floor 32 (few compile-cache buckets; see _mapping_step).
+        kb = min(
+            sys.map.kfs.Tcw.shape[0],
+            max(32, 1 << (max(int(sys.n_kfs), 1) - 1).bit_length()),
+        )
         sys.map, stats = mapping_ops.mapping_step(
             sys.map, jnp.int32(kf_idx), sys.cam, sys.scales,
             scale_factor=sys.settings.scale_factor,
@@ -51,6 +57,7 @@ class LocalMapper:
             # cnThObs: 2 mono / 3 stereo-RGBD (reference LocalMapping.cc:419)
             th_obs=2 if sys.sensor == Sensor.MONOCULAR else 3,
             with_lines=sys.settings.using_line,
+            k_bucket=kb,
         )
         try:
             stats.copy_to_host_async()

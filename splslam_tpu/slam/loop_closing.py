@@ -623,7 +623,9 @@ class LoopCloser:
             )
             prob = add_line_edges(st, cam_ids, ln_ids, prob)
         res = ba_solve_pcg(sys.cam, prob, rounds=rounds)
-        self.n_guarded += int(res.n_guarded)
+        # getattr: run_global_ba is also driven standalone on ad-hoc
+        # LoopCloser shells (tests/test_gba_lines.py uses __new__)
+        self.n_guarded = getattr(self, "n_guarded", 0) + int(res.n_guarded)
         # Fallback carry for lines outside the edge set: transform through
         # the owning keyframe's pose delta so they stay consistent with
         # the optimized map: X' = Tnew^-1 Told X.

@@ -501,7 +501,14 @@ def _triangulate_lines_pair(
 
     dist = M.hamming_matrix(kfs.ldesc[kf], kfs.ldesc[nb])
     d = M.masked_distances(dist, free1, free2, epi_ok & len_ok)
-    mt, _ = M.nn_match(d, max_dist=M.TH_LOW, mutual=True)
+    # TH_HIGH, not TH_LOW: between KEYFRAMES (~10 frames apart) the LBD
+    # of the same physical line runs 60-100 Hamming (measured: at
+    # TH_LOW=50 ZERO stereo map-lines were ever triangulated — the
+    # round-3 e2e floors were vacuous precisely because of this). The
+    # reference's line matchers gate at TH_HIGH=100 (Linematcher.cc:39);
+    # mutual NN + the epipolar/length gates above + the chi2/parallax
+    # checks below carry the verification burden.
+    mt, _ = M.nn_match(d, max_dist=M.TH_HIGH, mutual=True)
     matched = mt >= 0
     col = jnp.clip(mt, 0)
 
@@ -1182,7 +1189,7 @@ def assert_map_live(st, caller: str) -> None:
 @partial(
     jax.jit,
     static_argnames=("scale_factor", "n_levels", "ba_rounds", "ba_iters",
-                     "th_obs", "with_lines"),
+                     "th_obs", "with_lines", "k_bucket"),
     donate_argnames=("st",),
 )
 def _mapping_step(
@@ -1196,11 +1203,28 @@ def _mapping_step(
     ba_iters: int = 5,
     th_obs: int = 3,
     with_lines: bool = False,
+    k_bucket: int | None = None,
 ) -> tuple[MapState, jax.Array]:
     """The fused per-keyframe mapping program: cull -> triangulate ->
     fuse -> local BA (the reference RunBoth's paired point/line thread
     stages as sequential batched passes). Returns (new_map,
-    stats[MSTAT_LEN]) — see the MSTAT_* layout constants."""
+    stats[MSTAT_LEN]) — see the MSTAT_* layout constants.
+
+    `k_bucket`: static keyframe-axis bucket (LocalMapper passes the
+    next power of two >= the LIVE keyframe count, floor 32 — the same
+    bucketing run_global_ba uses, fd6b091). Every K-sized stage (the
+    KF-culling observer histogram alone scatters K*N rows into a
+    [P+1,8] table — 10.9 ms of the mapping step at K=256 capacity with
+    12 live keyframes; the covisibility matmuls scale the same way)
+    runs on the sliced tables; the updated rows are written back into
+    the full (donated) buffers at exit."""
+    K_full = st.kfs.Tcw.shape[0]
+    st_full_kfs = None
+    if k_bucket is not None and k_bucket < K_full:
+        st_full_kfs = st.kfs
+        st = st._replace(
+            kfs=jax.tree.map(lambda x: x[:k_bucket], st.kfs)
+        )
     st = cull_points(st, kf, th_obs=th_obs)
     if with_lines:
         st = cull_lines(st, kf)
@@ -1266,6 +1290,18 @@ def _mapping_step(
             res.n_guarded.astype(jnp.float32)[None],
         ]
     )
+    if st_full_kfs is not None:
+        # Write the bucketed keyframe rows back into the full-capacity
+        # (donated) tables; rows >= k_bucket were untouched by
+        # construction (no live keyframe reaches them).
+        st = st._replace(
+            kfs=jax.tree.map(
+                lambda full, small: jax.lax.dynamic_update_slice(
+                    full, small, (0,) * full.ndim
+                ),
+                st_full_kfs, st.kfs,
+            )
+        )
     return st, stats
 
 

@@ -359,10 +359,16 @@ def track_step(
     few_pts = n_mm < 20
     wB = jnp.where(few_pts | (n_lmm >= 10), 1.0, 0.0)
     gn = dict(rounds=gn_rounds, iters=gn_iters)
+    # The first solve of each stage only SEEDS the second (reference
+    # PoseOptimizationmain: points-first, then both — the second solve
+    # re-classifies and polishes); a short schedule suffices for the
+    # seed and halves the with-lines GN cost (4 full solves -> 2 full
+    # + 2 short; measured on-chip, see bench_mono.py).
+    gn_seed = dict(rounds=2, iters=4)
     if with_lines:
         wA = jnp.where(few_pts, 1.0, 0.0)
         resA = pose_optimize(T_pred, cam, pts_obs, ln_obs, line_weight=wA,
-                             **gn)
+                             **gn_seed)
         res1 = pose_optimize(resA.Tcw, cam, pts_obs, ln_obs, line_weight=wB,
                              **gn)
     else:
@@ -405,7 +411,7 @@ def track_step(
     if with_lines:
         wA2 = jnp.where(few2, 1.0, 0.0)
         resC = pose_optimize(res1.Tcw, cam, pts_obs2, ln_obs2,
-                             line_weight=wA2, **gn)
+                             line_weight=wA2, **gn_seed)
         res2 = pose_optimize(resC.Tcw, cam, pts_obs2, ln_obs2,
                              line_weight=wB2, **gn)
     else:

@@ -3,11 +3,17 @@
 separation. The round-2 vocabulary's behavior at realistic map sizes was
 an article of faith; this measures it.
 
-Protocol: 224 distinct places along a long lateral track over a textured
-plane (adjacent places overlap like consecutive keyframes); each place
-revisited from a 0.1-unit offset + 1.5deg yaw. The 8192px texture keeps
-the wrap period (8192/40 = 204.8 units) beyond the 123-unit track so no
-two places alias. What loop detection
+Protocol: 360 distinct places (round-3 VERDICT #6: prove retrieval at
+the 300-500-keyframe scale the tables are dimensioned for; round 3 ran
+224) along a long lateral track over a textured plane (adjacent places
+overlap like consecutive keyframes); each place revisited from a
+0.1-unit offset + 1.5deg yaw. At the same 0.55-unit spacing as round 3
+the 197-unit track stays inside the 8192px texture's wrap period
+(8192/40 = 204.8 units) so no two places alias. (416 places at
+0.45-unit spacing was measured too: the tighter spacing moves the
+true-neighborhood boundary — 2 "far" misses at |off|=4 are ~1.8 units
+away, inside what +-3 covers at 0.55 — so the round-3 spacing is kept
+and only the COUNT scales.) What loop detection
 needs from BoW is that a revisit NEVER scores a far place above the
 true neighborhood (a false loop is catastrophic; retrieving the
 neighbor of the true place is harmless — Sim3 verification aligns
@@ -32,7 +38,7 @@ from splslam_tpu.ops.orb import extract_orb
 from splslam_tpu.ops.pyramid import PyramidSpec
 
 W, H, FX = 320, 240, 200.0
-N_PLACES = 224
+N_PLACES = 360
 
 
 def _views():
