@@ -627,7 +627,7 @@ def _canonical_support(a, b, gx, gy, W_img, H_img, min_length):
 
 
 @partial(jax.jit, static_argnames=("capacity", "cell", "min_length",
-                                   "n_octaves", "backend"))
+                                   "n_octaves", "backend", "base_octave"))
 def extract_lines(
     image: jax.Array,
     capacity: int = 128,
@@ -635,6 +635,7 @@ def extract_lines(
     min_length: float = 24.0,
     n_octaves: int = 2,
     backend: str = "grow",
+    base_octave: int = 0,
 ) -> LineFeatures:
     """Detect up to `capacity` line segments in a grayscale (H,W) image.
 
@@ -644,7 +645,16 @@ def extract_lines(
     low-contrast structures whose per-pixel gradients are too noisy at
     full resolution. Candidates are mapped to level-0 coordinates and
     deduplicated jointly (collinear-overlap suppression), then the global
-    top-K by length is kept and described against level-0 gradients."""
+    top-K by length is kept and described against level-0 gradients.
+
+    `base_octave`: first level the MARCH runs on. base_octave=1 skips the
+    full-resolution march entirely (the dominant detector cost — its
+    latency-bound gathers touch 4x the pixels of L1): detection happens
+    on the half-res (and coarser) levels and endpoint geometry is still
+    recovered at LEVEL 0 by the canonical-support re-march below
+    (_canonical_support re-marches the merged extents against the
+    full-res gradients), which is also what the LBD describes against.
+    """
     H, W = image.shape
     # Level-0 gradients, computed ONCE and shared by L0 detection and
     # the dedup/describe tail below (they were computed twice before).
@@ -653,7 +663,7 @@ def extract_lines(
     cand_a, cand_b, cand_len, cand_ok, cand_resp = [], [], [], [], []
     cand_oct = []
     lv_img = image
-    for lv in range(n_octaves):
+    for lv in range(base_octave + n_octaves):
         if lv > 0:
             # 2x2 mean-pool octave downsample (the reference detects on
             # cv pyramid levels, src/Lineextractor.cc:119-181): a
@@ -663,6 +673,8 @@ def extract_lines(
             Wc = (lv_img.shape[1] // 2) * 2
             lv_img = lv_img[:Hc, :Wc].reshape(
                 Hc // 2, 2, Wc // 2, 2).mean(axis=(1, 3))
+        if lv < base_octave:
+            continue  # downsample only; no march at this level
         s = 2.0 ** lv
         a, b, ln, ok, cm = _detect_level(
             lv_img, cell, max(min_length / s, 12.0), backend=backend,
