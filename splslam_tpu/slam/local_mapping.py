@@ -33,6 +33,13 @@ class LocalMapper:
         self.n_steps = 0
         self.n_guarded = 0  # accumulated BA guard events (see
         #   optim/ba.BAResult.n_guarded); 0 on a healthy run
+        self._pending_version = 0  # sys.map_version at dispatch time:
+        #   flush() must NOT write this step's post-BA keyframe pose
+        #   into kf_pose_host if a loop correction / GBA rewrote the
+        #   map poses after the dispatch (the functional analog of the
+        #   reference's RequestStop/mbAbortBA handshake,
+        #   src/LoopClosing.cc:415-440 — a stale pre-correction pose
+        #   must not overwrite the corrected one)
 
     def on_keyframe(self, kf_idx: int):
         sys = self.sys
@@ -66,6 +73,7 @@ class LocalMapper:
         self.flush()  # consume the PREVIOUS step's bookkeeping first
         self._pending_stats = stats
         self._pending_kf = kf_idx
+        self._pending_version = sys.map_version
         self.big_change_idx += 1
         self.n_steps += 1
         # The mapping step may have adjusted landmark positions the live
@@ -96,4 +104,13 @@ class LocalMapper:
                 culled.append((cid, v[off + 1:off + 17].reshape(4, 4)))
         if v.shape[0] > MSTAT_GUARD:
             self.n_guarded += int(v[MSTAT_GUARD])
-        self.sys._on_mapping_result(self._pending_kf, pose, culled)
+        # Version check (see _pending_version): when a correction landed
+        # after this step's dispatch, its post-BA pose is pre-correction
+        # and must not overwrite kf_pose_host — pass pose=None; the
+        # culled-KF Tcp re-rooting is still applied (Tcp is a RELATIVE
+        # transform captured at cull time, invariant to later
+        # whole-trajectory corrections).
+        stale = self._pending_version != self.sys.map_version
+        self.sys._on_mapping_result(
+            self._pending_kf, None if stale else pose, culled
+        )

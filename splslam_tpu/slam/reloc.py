@@ -276,6 +276,7 @@ def reloc_attempt(
     pts_obs = PointObs(
         xyz_w=assoc_xyz, uv=frame.feat.xy,
         inv_sigma2=1.0 / frame.feat.sigma2, mask=has & inl0,
+        ur=frame.u_right,
     )
     ln_obs = LineObs(
         mid_w=ll_mid,
@@ -307,6 +308,7 @@ def reloc_attempt(
         obs = PointObs(
             xyz_w=xyz, uv=frame.feat.xy,
             inv_sigma2=1.0 / frame.feat.sigma2, mask=gid >= 0,
+            ur=frame.u_right,
         )
         r = pose_optimize(Tcw, cam, obs, ln_obs)
         return r, gid, xyz

@@ -350,7 +350,7 @@ def track_step(
 
     pts_obs = PointObs(
         xyz_w=assoc_xyz, uv=cur.feat.xy, inv_sigma2=inv_sig2,
-        mask=assoc_gid != -1,
+        mask=assoc_gid != -1, ur=cur.u_right,
     )
     ln_obs = _line_obs_from_assoc(cur.lines, ll_gid, ll_xyz3[:, 1])
     with_lines = Lc > 1  # static: line tables collapse to 1 slot when off
@@ -401,7 +401,7 @@ def track_step(
 
     pts_obs2 = PointObs(
         xyz_w=assoc_xyz2, uv=cur.feat.xy, inv_sigma2=inv_sig2,
-        mask=assoc_gid2 != -1,
+        mask=assoc_gid2 != -1, ur=cur.u_right,
     )
     ln_obs2 = _line_obs_from_assoc(cur.lines, ll_gid2, ll_xyz3_2[:, 1])
     n_pt2 = jnp.sum((assoc_gid2 != -1).astype(jnp.int32))
@@ -473,6 +473,7 @@ def bow_free_refkf_match(
         uv=cur.feat.xy,
         inv_sigma2=1.0 / cur.feat.sigma2,
         mask=assoc_gid >= 0,
+        ur=cur.u_right,
     )
     res = pose_optimize(T_init, cam, pts_obs, LineObs.empty(1))
     inlier = res.inlier_pt & (assoc_gid >= 0)
