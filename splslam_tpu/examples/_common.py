@@ -26,3 +26,6 @@ def run_sequence(sysm, feed, n_total: int):
     print(f"median tracking time: {np.median(tt)*1e3:.2f} ms", file=sys.stderr)
     print(f"mean tracking time:   {tt.mean()*1e3:.2f} ms", file=sys.stderr)
     print(sysm.timers.pretty(), file=sys.stderr)
+    # Solver-guard health (System.health): all *_guarded must be 0 on a
+    # healthy run; a verify_guarded SPIKE flags a matcher regression.
+    print(f"health: {sysm.health()}", file=sys.stderr)

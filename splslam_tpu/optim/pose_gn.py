@@ -180,12 +180,15 @@ def solve6(H: jax.Array, b: jax.Array) -> jax.Array:
     (~80 scalar flops, no control flow) is exact and pipeline-friendly
     inside the sequential GN iteration chain."""
     n = 6
-    L = [[None] * n for _ in range(n)]
+    L = [[None] * n for (_) in range(n)]
     for j in range(n):
         d = H[j, j]
         for k in range(j):
             d = d - L[j][k] * L[j][k]
-        Ljj = jnp.sqrt(jnp.maximum(d, 1e-20))
+        # Relative pivot floor (see optim/ba.solve_dense: an absolute
+        # floor turns breakdown pivots into overflow->NaN chains;
+        # bit-identical on healthy solves).
+        Ljj = jnp.sqrt(jnp.maximum(d, 1e-10 * jnp.abs(H[j, j]) + 1e-20))
         L[j][j] = Ljj
         inv = 1.0 / Ljj
         for i in range(j + 1, n):

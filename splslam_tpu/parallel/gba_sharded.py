@@ -87,6 +87,11 @@ def _gn_step_sharded(cam: Camera, p: BAProblem, Tcw_all, xyz_all, active,
         lm_active, 0.0, 1.0
     )[:, None, None] * jnp.eye(3)
     iHpp = jnp.linalg.inv(Hpp_d)
+    # Freeze landmarks whose inverse overflowed or blew past the
+    # legitimate damped bound (see optim/ba.py: one non-finite or ~1e36
+    # block would poison every CG matvec into a whole-solve no-op).
+    lm_sing = ~jnp.all(jnp.abs(iHpp.reshape(L, -1)) < 1e12, axis=-1)
+    iHpp = jnp.where(lm_sing[:, None, None], 0.0, iHpp)
     dHcc = jnp.eye(6)[None] * jnp.maximum(
         jnp.diagonal(Hcc, axis1=1, axis2=2), 1.0
     )[:, None, :]

@@ -31,8 +31,12 @@ class LocalMapper:
         self.last_stats = np.zeros((4,), np.float32)
         self.ba_ms_total = 0.0
         self.n_steps = 0
-        self.n_guarded = 0  # accumulated BA guard events (see
-        #   optim/ba.BAResult.n_guarded); 0 on a healthy run
+        self.n_guarded = 0  # transient accepted-iteration camera-step
+        #   zeroings (BAResult.n_guarded) — rate-bounded by e2e suites
+        self.n_state_revert = 0  # non-finite end-state reverts
+        #   (BAResult.n_state_revert) — e2e suites assert exactly 0
+        self.n_lm_singular = 0  # benign single-landmark step zeroings
+        #   (BAResult.n_lm_singular) — surfaced, not hard-gated
         self._pending_version = 0  # sys.map_version at dispatch time:
         #   flush() must NOT write this step's post-BA keyframe pose
         #   into kf_pose_host if a loop correction / GBA rewrote the
@@ -87,7 +91,8 @@ class LocalMapper:
         if self._pending_stats is None:
             return
         from splslam_tpu.slam.mapping_ops import (
-            MAX_KF_CULL, MSTAT_CULL, MSTAT_GUARD, MSTAT_POSE,
+            MAX_KF_CULL, MSTAT_CULL, MSTAT_GUARD, MSTAT_LMSING,
+            MSTAT_POSE, MSTAT_REVERT,
         )
 
         v = np.asarray(self._pending_stats)
@@ -104,6 +109,10 @@ class LocalMapper:
                 culled.append((cid, v[off + 1:off + 17].reshape(4, 4)))
         if v.shape[0] > MSTAT_GUARD:
             self.n_guarded += int(v[MSTAT_GUARD])
+        if v.shape[0] > MSTAT_REVERT:
+            self.n_state_revert += int(v[MSTAT_REVERT])
+        if v.shape[0] > MSTAT_LMSING:
+            self.n_lm_singular += int(v[MSTAT_LMSING])
         # Version check (see _pending_version): when a correction landed
         # after this step's dispatch, its post-BA pose is pre-correction
         # and must not overwrite kf_pose_host — pass pose=None; the

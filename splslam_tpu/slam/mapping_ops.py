@@ -55,13 +55,19 @@ MAX_TRI = 256     # new landmarks per (kf, neighbor) pair
 # [0:4]   n_pts, n_edges, n_inlier_edges, total_chi2
 # [4:20]  post-BA Tcw of the stepped keyframe (row-major 4x4)
 # then MAX_KF_CULL blocks of 17: [culled_id (-1 none), Tcp row-major 4x4]
-# final slot: BA solver guard-event count (BAResult.n_guarded — 0 on a
-# healthy solve; LocalMapper accumulates it and e2e tests assert 0)
+# then three solver-health slots (see optim/ba.BAResult):
+#   MSTAT_GUARD   — transient accepted-iteration camera-step zeroings
+#                   (rate-bounded by the e2e suites)
+#   MSTAT_REVERT  — non-finite end-state reverts (the silent-corruption
+#                   class; e2e suites assert exactly 0)
+#   MSTAT_LMSING  — benign single-landmark step zeroings (surfaced only)
 MAX_KF_CULL = 2
 MSTAT_POSE = 4
 MSTAT_CULL = 20
 MSTAT_GUARD = MSTAT_CULL + MAX_KF_CULL * 17
-MSTAT_LEN = MSTAT_GUARD + 1
+MSTAT_REVERT = MSTAT_GUARD + 1
+MSTAT_LMSING = MSTAT_REVERT + 1
+MSTAT_LEN = MSTAT_LMSING + 1
 
 
 def _topk_covisible(st: MapState, kf: jax.Array, k: int, exclude_self=True):
@@ -1288,6 +1294,8 @@ def _mapping_step(
             Tkf.reshape(-1),
             cull_info,
             res.n_guarded.astype(jnp.float32)[None],
+            res.n_state_revert.astype(jnp.float32)[None],
+            res.n_lm_singular.astype(jnp.float32)[None],
         ]
     )
     if st_full_kfs is not None:

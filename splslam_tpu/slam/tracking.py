@@ -107,6 +107,22 @@ def _project(Tcw, cam: Camera, xyz):
     return jnp.stack([u, v], axis=-1), z
 
 
+def _ur_gate(cam: Camera, uv_pred, z, cur_ur, radius):
+    """Stereo right-coordinate candidate gate (reference
+    SearchByProjection, src/ORBmatcher.cc: for keypoints with
+    mvuRight > 0, require |u_pred - bf/z - mvuRight| <= radius).
+    Candidates whose OWN stereo depth contradicts the projected map
+    point's depth are wrong matches regardless of descriptor distance —
+    on self-similar texture this gate removes most of the wrong-match
+    drag on the pose solve. Mono keypoints (ur < 0) are exempt."""
+    ur_pred = uv_pred[:, 0] - cam.bf / jnp.maximum(z, 1e-6)
+    err = jnp.abs(ur_pred[:, None] - cur_ur[None, :])
+    r = jnp.asarray(radius)
+    if r.ndim == 1:
+        r = r[:, None]
+    return (cur_ur[None, :] < 0) | (err <= r)
+
+
 def _in_img(cam: Camera, uv, border=0.0):
     return (
         (uv[:, 0] >= border)
@@ -137,8 +153,10 @@ def motion_model_match(
     radius = th * scales[last_octave]
     win = M.window_mask(uv_pred, cur.feat.xy, radius)
     oct_ok = M.octave_mask(last_octave, cur.feat.octave, -1, 1)
+    ur_ok = _ur_gate(cam, uv_pred, z, cur.u_right, radius)
     dist = M.hamming_from_bits(last_bits, cur.feat.bits)
-    dist = M.masked_distances(dist, row_ok, cur.feat.valid, win & oct_ok)
+    dist = M.masked_distances(dist, row_ok, cur.feat.valid,
+                              win & oct_ok & ur_ok)
     mt, md = M.nn_match(dist, max_dist=M.TH_HIGH)
     mt = M.rotation_consistency(last_angle, cur.feat.angle, mt)
     mt = _resolve_columns(mt, md, cur.feat.capacity)
@@ -178,9 +196,10 @@ def local_map_match(
     radius = jnp.where(viewcos > 0.998, 2.5, th) * scales[pred_oct]
     wmask = M.window_mask(uv, cur.feat.xy, radius)
     omask = M.octave_mask(pred_oct, cur.feat.octave, -1, 1)
+    ur_ok = _ur_gate(cam, uv, z, cur.u_right, radius)
     dist = M.hamming_mixed(cur.feat.bits, win.desc).T
     dist = M.masked_distances(
-        dist, visible, cur.feat.valid & ~already, wmask & omask
+        dist, visible, cur.feat.valid & ~already, wmask & omask & ur_ok
     )
     mt, md = M.nn_match(dist, max_dist=M.TH_HIGH, ratio=0.8)
     mt = _resolve_columns(mt, md, cur.feat.capacity)
