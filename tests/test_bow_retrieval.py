@@ -123,8 +123,9 @@ def test_retrieval_on_tracked_300kf_map():
     the cadence the keyframe policy produced, queried through the same
     `reloc_scores` kernel relocalization and loop detection use.
 
-    Geometry: ~36-unit lateral track, force_kf_every=3 -> ~0.12 units
-    between keyframes; a 320px/200fx view at z0=3 spans ~4.8 units, so
+    Geometry: ~36-unit lateral track, force_kf_every=2 (one keyframe
+    per 3 frames) -> ~0.12 units between keyframes; a 320px/200fx view
+    at z0=3 spans ~4.8 units, so
     neighbors share almost everything. The gates mirror what loop
     detection needs: the top-1 for a revisit query lands inside the
     strongly-overlapping neighborhood (|off| <= 16 KFs ~ 1.9 units,
@@ -143,7 +144,7 @@ def test_retrieval_on_tracked_300kf_map():
         fx=FX, fy=FX, cx=W / 2, cy=H / 2, bf=FX * BASE, width=W, height=H,
         n_features=500, n_levels=4, th_depth=60.0, fps=10,
         max_points=65536, max_keyframes=512, local_window=1024,
-        enable_local_mapping=False, force_kf_every=3, min_kf_gap=1,
+        enable_local_mapping=False, force_kf_every=2, min_kf_gap=1,
         enable_loop_closing=False,
     )
     sysm = System(st, Sensor.STEREO)
