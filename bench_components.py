@@ -125,6 +125,8 @@ def bench_reloc_solvers() -> dict:
     import jax.numpy as jnp
 
     from splslam_tpu.geometry.camera import Camera
+    from splslam_tpu.optim.pose_gn import (
+        LineObs, PointObs, pose_optimize)
     from splslam_tpu.slam.reloc import epnl_ransac, pnp_ransac
 
     cam = Camera(fx=200.0, fy=200.0, cx=W / 2, cy=H / 2, bf=24.0,
@@ -180,15 +182,29 @@ def bench_reloc_solvers() -> dict:
         outs = []
         for i, (T, X, uv, X3, l) in enumerate(probs):
             key = jax.random.PRNGKey(i)
+            # Minimal RANSAC + GN refinement on the robust residuals —
+            # the pipeline the real reloc_attempt runs (and the
+            # reference refines its EPnP/EPnL seed too,
+            # src/Tracking.cc:3130-3160 PoseOptimization after the
+            # solver); the raw 6-sample DLT alone is not the claim.
             if tag == "epnp_points":
                 Te, n, _ = pnp_ransac(
                     key, cam, jnp.asarray(uv, jnp.float32),
                     jnp.asarray(X, jnp.float32), jnp.ones((Npt,)),
                     jnp.ones((Npt,), bool))
+                obs = PointObs(jnp.asarray(X, jnp.float32),
+                               jnp.asarray(uv, jnp.float32),
+                               jnp.ones((Npt,)), jnp.ones((Npt,), bool))
+                Te = pose_optimize(Te, cam, obs, LineObs.empty(1)).Tcw
             else:
                 Te, n, _ = epnl_ransac(
                     key, cam, jnp.asarray(l, jnp.float32),
                     jnp.asarray(X3, jnp.float32), jnp.ones((Nln,), bool))
+                lobs = LineObs(jnp.asarray(X3[:, 1], jnp.float32),
+                               jnp.asarray(l, jnp.float32),
+                               jnp.full((Nln,), 0.25),
+                               jnp.ones((Nln,), bool))
+                Te = pose_optimize(Te, cam, PointObs.empty(1), lobs).Tcw
             ang, dt = err_of(Te, T)
             ok = ang < 2.0 and dt < 0.05
             succ += ok
