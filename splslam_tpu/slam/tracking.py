@@ -391,8 +391,14 @@ def track_step(
         res1 = pose_optimize(resA.Tcw, cam, pts_obs, ln_obs, line_weight=wB,
                              **gn)
     else:
+        # Stereo/points-only: stage 1 only SEEDS stage 2 (which re-runs
+        # the full schedule from this pose against the richer local-map
+        # association set), so the short seed schedule suffices — the
+        # same measured trick as the with-lines path (round-5: recovers
+        # the ~0.2 ms/frame the 3-dof stereo residual rows added; tour
+        # ATE re-validated at the pinned-cadence gate).
         res1 = pose_optimize(T_pred, cam, pts_obs, ln_obs, line_weight=0.0,
-                             **gn)
+                             **gn_seed)
     assoc_gid = jnp.where(res1.inlier_pt, assoc_gid, -1)
     ll_gid = jnp.where(res1.inlier_ln, ll_gid, -1)
 
