@@ -54,7 +54,7 @@ def main() -> None:
         n_features=2000, n_levels=8, th_depth=35.0, fps=10.0,
         max_points=65536, max_keyframes=256, local_window=2048,
         enable_local_mapping=False,
-        batch_defer_stats=True,
+        batch_defer_stats=True, batch_defer_depth=3,
         # Keyframe insertion is a separate row in the reference's
         # timing tables (13.4 ms/KF on KITTI, BASELINE.md); a 64-frame
         # minimum gap (a hard gate in _need_new_keyframe) keeps its
@@ -161,6 +161,7 @@ def main_realistic() -> None:
             n_features=2000, n_levels=8, th_depth=35.0, fps=10.0,
             max_points=65536, max_keyframes=64, local_window=2048,
             enable_local_mapping=True, batch_defer_stats=True,
+            batch_defer_depth=3,
             min_kf_gap=8, force_kf_every=16,
         )
         sysm = System(st, Sensor.STEREO)

@@ -88,7 +88,7 @@ def main() -> None:
             n_features=1000, n_levels=8, fps=30.0,
             max_points=16384, max_keyframes=128, local_window=2048,
             using_line=using_line, line_features=128,
-            batch_defer_stats=True,
+            batch_defer_stats=True, batch_defer_depth=3,
             enable_local_mapping=False, min_kf_gap=20,
         )
         sysm = System(st, Sensor.MONOCULAR)

@@ -21,6 +21,7 @@ from __future__ import annotations
 
 import enum
 import os
+import threading
 import time
 from collections import deque
 from contextlib import contextmanager
@@ -187,6 +188,19 @@ class Settings:
     # reloc decisions then lag one extra batch; they already act on the
     # retained batch-final frame, so semantics are the same, delayed)
     batch_defer_stats: bool = False
+    # batches in flight before the host consumes their stats. At depth 1
+    # the consume of batch N happens while the device is still computing
+    # N (the host runs ahead), so its blocking fetch pays N's remaining
+    # compute PLUS one full tunnel round trip (~26 ms) with the device
+    # idle — measured ~3.3 ms/frame of the mono headline at B=8. At
+    # depth >= 2 the fetch is started on a BACKGROUND thread at dispatch
+    # time and joined a further batch later, by when the device has
+    # moved on to newer batches and the RPC has completed concurrently:
+    # the round trip leaves the critical path entirely. Host decisions
+    # (keyframe insertion, loss replay, reloc) then lag `depth` batches
+    # instead of one — the same staleness class batch_defer_stats
+    # already accepts, one batch longer per unit depth.
+    batch_defer_depth: int = 1
 
     def camera(self) -> Camera:
         return Camera.create(
@@ -199,6 +213,40 @@ class Settings:
         return any(
             abs(v) > 1e-12 for v in (self.k1, self.k2, self.p1, self.p2, self.k3)
         )
+
+
+class _StatsFetch:
+    """Background D2H fetch of one batch's stats vector.
+
+    `np.asarray(jax.Array)` blocks in C++ (GIL released) until the
+    device finishes producing the buffer AND one tunnel round trip
+    (~26 ms) completes. Started at dispatch time on a daemon thread and
+    joined `batch_defer_depth` batches later, both costs overlap with
+    the device executing newer batches — the main thread never idles
+    the device waiting on a fetch (see Settings.batch_defer_depth)."""
+
+    def __init__(self, stats_dev):
+        self._dev = stats_dev
+        self._arr = None
+        self._err = None
+        try:
+            stats_dev.copy_to_host_async()
+        except AttributeError:
+            pass
+        self._thread = threading.Thread(target=self._run, daemon=True)
+        self._thread.start()
+
+    def _run(self):
+        try:
+            self._arr = np.asarray(self._dev)
+        except Exception as e:  # surfaced at get()
+            self._err = e
+
+    def get(self) -> np.ndarray:
+        self._thread.join()
+        if self._err is not None:
+            raise self._err
+        return self._arr
 
 
 class StageTimer:
@@ -339,7 +387,7 @@ class System:
         self.mono_state = None  # used by the monocular path
         self.init_used_h = None  # which two-view model won mono init
         self._pending: deque = deque()       # (stats_dev, ts, step_state)
-        self._pending_batch = None           # deferred batch stats
+        self._pending_batches: deque = deque()  # deferred batch stats
         self._batch_recovering = False       # inside a lost-batch replay
         self._pending_kf_out = None          # async keyframe-creation output
         self._th_depth_dev = jnp.float32(self.th_depth_m)
@@ -469,24 +517,31 @@ class System:
         self.step = new_step
         fid0 = self.frame_id      # row b of this batch is frame fid0+b+1
         self.frame_id += B
-        if self.settings.batch_defer_stats:
-            try:
-                stats_dev.copy_to_host_async()
-            except AttributeError:
-                pass
-            prev = self._pending_batch
-            self._pending_batch = (stats_dev, list(timestamps), new_step,
-                                   imgs, fid0)
-            if prev is not None:
-                self._consume_batch_stats(*prev)
-        else:
-            self._consume_batch_stats(stats_dev, timestamps, new_step, imgs,
-                                      fid0)
+        self._queue_batch_stats(stats_dev, list(timestamps), new_step,
+                                imgs, fid0)
         self.timers.add(
             "Tracking total / frame",
             (time.perf_counter() - t0) * 1e3 / max(B, 1),
         )
         return self.last_Tcw_np.copy()
+
+    def _queue_batch_stats(self, stats_dev, timestamps, step_snap,
+                           imgs, fid0):
+        """Enqueue one dispatched batch's stats for deferred host-side
+        consumption. With batch_defer_stats the fetch starts NOW on a
+        background thread (see _StatsFetch) and the oldest pending batch
+        is consumed once more than `batch_defer_depth` are in flight;
+        without it, consumption is synchronous (sequential-path parity)."""
+        if not self.settings.batch_defer_stats:
+            self._consume_batch_stats(stats_dev, timestamps, step_snap,
+                                      imgs, fid0)
+            return
+        self._pending_batches.append(
+            (_StatsFetch(stats_dev), timestamps, step_snap, imgs, fid0)
+        )
+        depth = max(1, int(self.settings.batch_defer_depth))
+        while len(self._pending_batches) > depth:
+            self._consume_batch_stats(*self._pending_batches.popleft())
 
     def _consume_batch_stats(self, stats_dev, timestamps, step_snap,
                              imgs=None, fid0=None):
@@ -516,7 +571,11 @@ class System:
         for a trajectory no better than the device's own recovery. A
         true kidnap keeps every subsequent row lost (the local window
         dies with the tracked set), so it always reaches the replay."""
-        stats = np.asarray(stats_dev)   # one fetch per batch
+        # One fetch per batch: either a _StatsFetch joined here (the
+        # RPC already overlapped with newer batches' compute) or a raw
+        # device array fetched synchronously (defer off).
+        stats = (stats_dev.get() if isinstance(stats_dev, _StatsFetch)
+                 else np.asarray(stats_dev))
         B = stats.shape[0]
         self._resolve_kf_out()
         # Dual point+line lost gate per row (reference Tracking.cc:
@@ -607,12 +666,12 @@ class System:
         self._batch_recovering = True
         try:
             segments = [(imgs, timestamps, b0)]
-            if self._pending_batch is not None:
-                # The next batch was dispatched before this batch's loss
-                # was visible on the host: its device results integrated
-                # a diverged pose, so drop them and re-track its frames.
-                _, ts2, _, imgs2, _ = self._pending_batch
-                self._pending_batch = None
+            # Every still-pending newer batch was dispatched before this
+            # batch's loss was visible on the host: its device results
+            # integrated a diverged pose, so drop them (in order) and
+            # re-track their frames.
+            while self._pending_batches:
+                _, ts2, _, imgs2, _ = self._pending_batches.popleft()
                 if imgs2 is not None:
                     segments.append((imgs2, ts2, 0))
             n_replay = sum(len(ts) - lo for _, ts, lo in segments)
@@ -716,19 +775,8 @@ class System:
         self.step = new_step
         fid0 = self.frame_id      # row b of this batch is frame fid0+b+1
         self.frame_id += B
-        if self.settings.batch_defer_stats:
-            try:
-                stats_dev.copy_to_host_async()
-            except AttributeError:
-                pass
-            prev = self._pending_batch
-            self._pending_batch = (stats_dev, list(timestamps), new_step,
-                                   imgs, fid0)
-            if prev is not None:
-                self._consume_batch_stats(*prev)
-        else:
-            self._consume_batch_stats(stats_dev, timestamps, new_step, imgs,
-                                      fid0)
+        self._queue_batch_stats(stats_dev, list(timestamps), new_step,
+                                imgs, fid0)
         self.timers.add(
             "Tracking total / frame",
             (time.perf_counter() - t0) * 1e3 / max(B, 1),
@@ -752,7 +800,7 @@ class System:
         from splslam_tpu.slam.loop_closing import LoopCloser
 
         self._pending = deque()
-        self._pending_batch = None
+        self._pending_batches = deque()
         self._reset_runtime()
         self.mapper = LocalMapper(self)
         self.loop_closer = LoopCloser(self)
@@ -801,9 +849,8 @@ class System:
     def drain(self):
         """Consume all in-flight frame stats (called before any state or
         trajectory query)."""
-        if self._pending_batch is not None:
-            pb, self._pending_batch = self._pending_batch, None
-            self._consume_batch_stats(*pb)
+        while self._pending_batches:
+            self._consume_batch_stats(*self._pending_batches.popleft())
         while self._pending:
             self._process_one()
         self.mapper.flush()   # apply any pending cull re-rooting
